@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship dedup pipeline on /root/testdata/sf0.001.
+queries()     — SURVEY.md §2 operators as (spark, sf_dir) → DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query (driver correctness gate).
 """
 
 from __future__ import annotations
@@ -12,27 +10,46 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full record-linkage pipeline (fingerprint → LSH blocking →
+    consensus scoring → connected components → representative) over the
+    sf0.001 documents table mapped to the files(repo,path,commit,lang,
+    content) input shape."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.operators.dedup import dedup_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    files = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0000000").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    out = dedup_pipeline(files, PipelineConfig())
+    return out.select(
+        "file_id",
+        "repo",
+        "path",
+        "lang",
+        "content_sha",
+        "size",
+        "cluster_id",
+        "is_representative",
+        "error",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dedupe_spark.plans.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dedupe_spark.plans.queries import registry
+
+    return {name: sql for name, (_fn, sql) in registry().items() if sql is not None}

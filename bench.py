@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dedupe_spark.session import get_spark
+
+    spark = get_spark(app_name="dedupe_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.operators.dedup import dedup_pipeline
+    from pyspark.sql import functions as F
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full record-linkage pipeline over the documents table
+    def flagship() -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        files = docs.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        out = dedup_pipeline(files, PipelineConfig())
+        # noop sink: materializes every row/column without driver collect
+        out.write.format("noop").mode("overwrite").save()
+
+    timed("dedup_pipeline", flagship)
+
+    qs = entry_mod.queries()
+    for name in sorted(qs):
+        fn = qs[name]
+        timed(
+            name,
+            lambda f=fn: f(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

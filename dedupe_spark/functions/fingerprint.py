@@ -1,0 +1,226 @@
+"""Content fingerprinting — the engine's projection stage.
+
+Plays the role of the reference's ``HashGenerator.generate_hash``
+(/root/reference/hash_generator.py:62-114): one pass over content producing
+every signal later stages compare on. The reference computes three 64-bit
+perceptual hashes per image in a per-row Python loop; here we compute a
+64-bit **simhash** + a 128-lane **MinHash signature** + LSH band keys per
+source-code row, in Arrow batches with numpy — zero per-row Python at the
+Spark level (one pandas UDF call per ~4096-row batch).
+
+Everything cheap stays JVM-side (sha2, octet_length, split): Catalyst
+codegen beats any UDF for those.
+
+Determinism: shingle hashing uses ``pandas.util.hash_array`` with a fixed
+hash key (SipHash, stable across processes/runs), and MinHash permutation
+coefficients come from a seeded numpy Generator — reruns are bit-identical,
+which the resume/checkpoint tests rely on.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# deterministic constants
+# ---------------------------------------------------------------------------
+
+_HASH_KEY = "dedupe_spark_016"  # exactly 16 bytes — pandas hash_array key
+_MERSENNE_P = (1 << 61) - 1
+_TOKEN_RE = re.compile(r"\w+")
+
+# Polynomial-mix constants for band hashing (splitmix64-style odd constants).
+_BAND_C0 = np.uint64(0x9E3779B97F4A7C15)
+_BAND_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_BAND_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _minhash_coeffs(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) for sig_i = (a_i * h + b_i) mod p.
+
+    a < 2^31 so a*h32 + b stays below 2^63 — no uint64 overflow.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased word tokens (``\\w+``) — the unit of shingling."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def shingle_strings(tokens: list[str], k: int) -> list[str]:
+    """k-token shingles as joined strings; short docs fall back to tokens."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def _hash_shingles_batch(all_shingles: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes for a flat list of shingle strings (vectorized)."""
+    if not all_shingles:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.asarray(all_shingles, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY).astype(np.uint64)
+
+
+def simhash_from_hashes(h: np.ndarray) -> int:
+    """64-bit simhash: majority vote per bit over shingle hashes.
+
+    Same comparison math as the reference's Hamming pipeline
+    (hash_generator.py:116-140) — two simhashes are compared with
+    XOR + popcount.
+    """
+    if h.size == 0:
+        return 0
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0)
+    maj = (votes * 2 > h.size).astype(np.uint64)
+    packed = np.uint64(0)
+    for i in range(64):
+        packed |= maj[i] << shifts[i]
+    return int(packed.astype(np.int64))  # two's-complement view as Spark LongType
+
+
+def minhash_from_hashes(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (int32) from shingle hashes via seeded permutations."""
+    num_perm = a.shape[0]
+    if h.size == 0:
+        return np.full(num_perm, np.iinfo(np.int32).max, dtype=np.int32)
+    h32 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    # (num_perm, n_shingles) — safe: a < 2^31, h32 < 2^32 → product < 2^63
+    phi = (a[:, None] * h32[None, :] + b[:, None]) % np.uint64(_MERSENNE_P)
+    sig = phi.min(axis=1)
+    return (sig & np.uint64(0x7FFFFFFF)).astype(np.int32)
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Fold each band of ``rows`` signature lanes into one stable int64 key.
+
+    The band index is mixed in so identical lane values in different bands
+    never collide into the same block.
+    """
+    s = sig.astype(np.uint64).reshape(bands, rows)
+    acc = (np.arange(bands, dtype=np.uint64) * _BAND_C0) + _BAND_C1
+    for j in range(rows):
+        acc = (acc ^ s[:, j]) * _BAND_C2
+        acc ^= acc >> np.uint64(29)
+    return acc.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# the pandas UDF
+# ---------------------------------------------------------------------------
+
+_FP_STRUCT = T.StructType(
+    [
+        T.StructField("simhash", T.LongType()),
+        T.StructField("minhash_sig", T.ArrayType(T.IntegerType())),
+        T.StructField("band_keys", T.ArrayType(T.LongType())),
+        T.StructField("n_shingles", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+)
+
+
+def make_fingerprint_udf(shingle_k: int, num_perm: int, bands: int, rows: int):
+    """Build the Arrow-batched fingerprint UDF (closure carries config)."""
+    a_coef, b_coef = _minhash_coeffs(num_perm)
+
+    @pandas_udf(_FP_STRUCT)
+    def fingerprint_udf(content: pd.Series) -> pd.DataFrame:
+        n = len(content)
+        tokens_per_row: list[list[str]] = [
+            tokenize(c) if isinstance(c, str) else [] for c in content
+        ]
+        shingles_per_row = [shingle_strings(t, shingle_k) for t in tokens_per_row]
+        counts = np.fromiter((len(s) for s in shingles_per_row), dtype=np.int64, count=n)
+        flat: list[str] = [s for row in shingles_per_row for s in row]
+        flat_hashes = _hash_shingles_batch(flat)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+
+        simhashes = np.zeros(n, dtype=np.int64)
+        sigs: list[np.ndarray] = []
+        bkeys: list[np.ndarray] = []
+        for i in range(n):
+            h = np.unique(flat_hashes[offsets[i] : offsets[i + 1]])  # shingle *set*
+            simhashes[i] = simhash_from_hashes(h)
+            sig = minhash_from_hashes(h, a_coef, b_coef)
+            sigs.append(sig)
+            bkeys.append(band_hashes(sig, bands, rows))
+
+        return pd.DataFrame(
+            {
+                "simhash": simhashes,
+                "minhash_sig": sigs,
+                "band_keys": bkeys,
+                "n_shingles": counts.astype(np.int32),
+                "n_tokens": np.fromiter(
+                    (len(t) for t in tokens_per_row), dtype=np.int32, count=n
+                ),
+            }
+        )
+
+    return fingerprint_udf
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level stage
+# ---------------------------------------------------------------------------
+
+
+def file_id_col(repo: str = "repo", path: str = "path", commit: str = "commit") -> Column:
+    """Stable primary key: sha256 over NUL-joined identity columns."""
+    return F.sha2(F.concat_ws("\x00", F.col(repo), F.col(path), F.col(commit)), 256)
+
+
+def with_fingerprints(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    add_file_id: bool = True,
+) -> DataFrame:
+    """Fingerprint projection stage (reference P1/P2, hash_generator.py:39-114).
+
+    Adds: file_id, content_sha, size, lines, simhash, minhash_sig,
+    band_keys, n_shingles, n_tokens, error.
+
+    Error-channel convention matches the reference (hash_generator.py:102-114):
+    degenerate rows (null/empty/whitespace-only content) are kept with
+    ``error`` set and excluded from comparisons downstream — never fail the job.
+    """
+    fp = make_fingerprint_udf(shingle_k, num_perm, bands, rows)
+    c = F.col(content_col)
+    out = df
+    if add_file_id and "file_id" not in df.columns:
+        out = out.withColumn("file_id", file_id_col())
+    out = (
+        out.withColumn("content_sha", F.sha2(c, 256))
+        .withColumn("size", F.octet_length(c).cast("long"))
+        .withColumn("lines", F.size(F.split(c, "\n")))
+        .withColumn("_fp", fp(c))
+        .select("*", "_fp.*")
+        .drop("_fp")
+        .withColumn(
+            "error",
+            F.when(c.isNull(), F.lit("null content"))
+            .when(F.length(F.trim(c)) == 0, F.lit("empty content"))
+            .when(F.col("n_tokens") == 0, F.lit("no tokens"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+    )
+    return out

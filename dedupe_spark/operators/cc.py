@@ -1,0 +1,79 @@
+"""Iterative hash-min connected components — DataFrame-only, no GraphFrames.
+
+The reference folds similarity directly into greedy, order-dependent star
+groups (/root/reference/duplicate_detector.py:39-103). That is neither
+deterministic nor parallelizable; the target semantics (SURVEY.md §2.7) is
+transitive closure over the match-edge graph, computed as iterative
+min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint. Components here are duplicate families —
+near-cliques with tiny diameter — so convergence is 2-4 iterations in
+practice. Each iteration is one shuffle (groupBy id) + one join;
+``localCheckpoint`` truncates lineage so the plan doesn't grow with the
+iteration count (critical at scale: without it Catalyst re-derives the
+whole chain every iteration).
+
+Determinism: the component label is the minimum file_id of the component —
+stable across runs, partitionings, and resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Return (file_id, component) for every vertex that appears in edges.
+
+    Vertices not present in ``edges`` are simply absent — callers treat
+    missing rows as singletons (cluster_id null), matching the reference's
+    "groups require >=2 members" rule (duplicate_detector.py:88-89).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    # symmetric closure once; propagation then only needs one direction
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition("src").localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn("component", F.col("vid"))
+        .localCheckpoint(eager=True)
+    )
+
+    for it in range(max_iterations):
+        # min label among self + neighbors
+        neighbor_labels = (
+            sym.join(labels, sym.dst == labels.vid)
+            .select(F.col("src").alias("vid"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("vid")
+            .agg(F.min("component").alias("component"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("vid").alias("file_id"), "component")

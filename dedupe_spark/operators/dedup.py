@@ -1,0 +1,149 @@
+"""High-level dedup pipeline: fingerprint → block → score → cluster → pick.
+
+This is the engine's flagship operator — the whole reference pipeline
+(/root/reference/dedupe.py:38-250 stages 2-8) as one DataFrame-to-DataFrame
+function. Also exposes the individual dedup strategies a training-data
+pipeline needs (exact, MinHash-LSH, simhash, n-gram Jaccard) as standalone
+operators over any (id, text) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_spark.config import PipelineConfig
+from dedupe_spark.functions.fingerprint import with_fingerprints
+from dedupe_spark.operators.blocking import candidate_pairs, exact_groups, lsh_buckets
+from dedupe_spark.operators.cc import connected_components
+from dedupe_spark.operators.representative import with_representative
+from dedupe_spark.operators.scoring import score_pairs
+
+
+def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """files(repo, path, commit, lang, content) → per-file cluster assignment.
+
+    Output columns: every input column + file_id, content_sha, size, lines,
+    n_tokens, error, cluster_id (null ⇔ singleton), is_representative.
+
+    Stages (each one or zero shuffles — SURVEY.md §4.3):
+      1. fingerprint     narrow, Arrow batches
+      2. exact tier      1 shuffle on content_sha (groupBy)
+      3. LSH tier        explode ×bands, 1 shuffle on band key (self-join)
+                         — over DISTINCT contents only (super-nodes)
+      4. score           joins on id (shuffle), then codegen'd expressions
+      5. CC              ~2-4 iterations × (join + groupBy), checkpointed
+      6. representative  1 shuffle on cluster_id (window)
+    """
+    cfg = cfg or PipelineConfig()
+    if cfg.langs:
+        files = files.filter(F.lower(F.col("lang")).isin([l.lower() for l in cfg.langs]))
+    if cfg.sample:
+        files = files.limit(cfg.sample)
+
+    fp = with_fingerprints(
+        files,
+        shingle_k=cfg.shingle_k,
+        num_perm=cfg.num_perm,
+        bands=cfg.lsh_bands,
+        rows=cfg.lsh_rows,
+    )
+    # fingerprints are reused by blocking, scoring and the final join —
+    # cache the pruned projection so content isn't re-fingerprinted per use
+    fp_slim = fp.select(
+        "file_id", "content_sha", "simhash", "minhash_sig", "band_keys", "error"
+    ).cache()
+
+    eg = exact_groups(fp_slim)  # (file_id, content_sha, exact_rep, exact_group_size)
+
+    # near-dup tier over distinct contents only (exact reps = super-nodes)
+    reps = fp_slim.join(
+        eg.filter(F.col("file_id") == F.col("exact_rep")).select("file_id"),
+        "file_id",
+    )
+    buckets = lsh_buckets(
+        reps, max_bucket_size=cfg.max_bucket_size, bucket_salt=cfg.bucket_salt
+    )
+    pairs = candidate_pairs(buckets)
+    edges = score_pairs(
+        pairs,
+        fp_slim,
+        hamming_threshold=cfg.hamming_threshold,
+        jaccard_threshold=cfg.jaccard_threshold,
+        require_agreement=cfg.require_agreement,
+    ).filter("is_match")
+
+    # transitive clustering over rep-level edges
+    comp = connected_components(edges, max_iterations=cfg.cc_max_iterations)
+
+    # rep-level component label → every member of the exact group;
+    # exact groups with no near-dup edges still cluster if size >= 2
+    rep_label = comp.withColumnRenamed("file_id", "exact_rep")
+    assignment = (
+        eg.join(rep_label, "exact_rep", "left")
+        .withColumn(
+            "cluster_id",
+            F.when(F.col("component").isNotNull(), F.col("component")).when(
+                F.col("exact_group_size") >= 2, F.col("exact_rep")
+            ),
+        )
+        .select("file_id", "cluster_id")
+    )
+
+    out = fp.join(assignment, "file_id", "left")
+    out = with_representative(out)
+    # contract: clusters need >= min_cluster_size members (reference
+    # duplicate_detector.py:88-89); CC + exact tiers guarantee >=2 already,
+    # singletons carry null cluster_id.
+    return out
+
+
+# ---------------------------------------------------------------------------
+# standalone dedup strategies over any (id, text) table — training-data ops
+# ---------------------------------------------------------------------------
+
+
+def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via sha256-groupBy: (id, cluster_id, cluster_size, is_representative).
+
+    cluster_id = min(id) over identical text; representative = min id.
+    One shuffle; map-side partial aggregation applies.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha")
+    )
+    g = keyed.groupBy("sha").agg(
+        F.min("id").alias("cluster_id"), F.count("*").alias("cluster_size")
+    )
+    return (
+        keyed.join(g, "sha")
+        .select(
+            "id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+        )
+    )
+
+
+def minhash_lsh_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Near-dedup via MinHash-LSH + CC on any (id, text) table.
+
+    Returns (id, cluster_id) with null cluster_id for singletons.
+    """
+    cfg = cfg or PipelineConfig()
+    files = df.select(
+        F.col(id_col).cast("string").alias("path"),
+        F.col(text_col).alias("content"),
+    ).withColumn("repo", F.lit("t")).withColumn("commit", F.lit("0")).withColumn(
+        "lang", F.lit("text")
+    )
+    out = dedup_pipeline(files, cfg)
+    return out.select(
+        F.col("path").cast("string").alias("id"), "cluster_id", "is_representative"
+    )
