@@ -9,7 +9,7 @@ operators over any (id, text) table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dedupe_spark.config import PipelineConfig
@@ -123,6 +123,169 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "cluster_size",
             (F.col("id") == F.col("cluster_id")).alias("is_representative"),
         )
+    )
+
+
+def simhash_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    hamming_threshold: int = 6,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Near-dedup via 64-bit simhash + banded-Hamming blocking + CC.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 × 16-bit
+    chunks; any pair within Hamming distance ≤ 3·(64/16)−1 shares at least
+    one chunk, so candidates come from 4 cheap equi-self-joins instead of a
+    cross join. Residual predicate is the exact popcount
+    (hash_generator.py:116-140's XOR+popcount, as JVM ``bit_count``).
+    Returns (id, cluster_id, is_representative); null cluster ⇔ singleton.
+    """
+    cfg = cfg or PipelineConfig()
+    fp = with_fingerprints(
+        df.select(
+            F.col(id_col).cast("string").alias("path"),
+            F.col(text_col).alias("content"),
+        )
+        .withColumn("repo", F.lit("t"))
+        .withColumn("commit", F.lit("0"))
+        .withColumn("lang", F.lit("text")),
+        shingle_k=cfg.shingle_k,
+        num_perm=cfg.num_perm,
+        bands=cfg.lsh_bands,
+        rows=cfg.lsh_rows,
+    ).select(F.col("path").alias("id"), "simhash", "error")
+    healthy = fp.filter(F.col("error").isNull()).select("id", "simhash").cache()
+
+    chunks = healthy.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    edges = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_threshold)
+        .dropDuplicates(["id1", "id2"])
+    )
+    comp = connected_components(edges)
+    out = healthy.join(
+        comp.select(
+            F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
+        ),
+        "id",
+        "left",
+    )
+    w_rep = F.min("id").over(
+        Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
+    )
+    return out.select(
+        "id", "cluster_id", (F.col("id") == w_rep).alias("is_representative")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join, fully relational.
+
+    distinct (id, gram) rows → self-join on gram (inverted-index join; the
+    classic set-similarity join) → |∩| per pair via groupBy → Jaccard by
+    inclusion-exclusion against per-doc gram counts. No UDF anywhere, so the
+    whole plan is codegen'd and the oracle twin runs verbatim in DuckDB.
+
+    Scale note: the gram join is the textbook prefix-filter candidate; hot
+    grams (stopword shingles) are the skew risk — at 100 TB add a document-
+    frequency cap (drop grams with df > D) exactly like dropping size-1 LSH
+    buckets; the Jaccard math is unchanged for pairs that share any rare gram.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = (
+        toks.select(
+            "id",
+            F.concat_ws(
+                " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]
+            ).alias("gram"),
+            F.lead("tok", k - 1).over(w).isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("id", "gram")
+        .distinct()
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_grams").alias("n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def ngram_jaccard_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dedup: τ-pairs → connected components."""
+    edges = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    comp = connected_components(edges)
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(
+        comp.select(
+            F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
+        ),
+        "id",
+        "left",
     )
 
 

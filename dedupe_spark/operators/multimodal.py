@@ -1,0 +1,158 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+A 100 TB training-data table carries media as opaque ``binary`` columns with
+typed metadata. The Spark-side machinery here — schema, batch shape,
+``mapInPandas`` iteration, partition sizing — is real and tested; the actual
+codec calls (PIL/librosa/ffmpeg are not in this container) are stubbed
+behind ``decode_fn`` with a clearly marked ``NotImplementedError`` default
+and a deterministic fake for tests.
+
+Design rules for binary columns at scale:
+  * metadata (magic bytes, size, sha) is extracted with JVM builtins —
+    ``substring`` on binary, ``octet_length``, ``sha2`` — so filters like
+    "only PNGs under 10 MB" push down without touching Python.
+  * heavy decode runs in ``mapInPandas`` so one Python worker streams Arrow
+    batches; ``maxRecordsPerBatch`` bounds peak memory per batch.
+  * decoded features come back as fixed-size ``array<float>`` + struct
+    metadata — never Python objects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+        T.StructField("meta_sample_rate", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+# magic-byte prefixes for format sniffing (JVM-side, pushdown-friendly)
+MAGIC = {"png": bytes([0x89, 0x50, 0x4E, 0x47]), "riff": b"RIFF", "jpg": bytes([0xFF, 0xD8])}
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-only metadata projection: size, sha256, sniffed format.
+
+    Everything here is codegen'd; a filter on ``sniffed_format`` prunes rows
+    before any Python decode stage runs.
+    """
+    p = F.col(payload_col)
+    fmt = (
+        F.when(F.substring(p, 1, 4) == F.lit(MAGIC["png"]), "png")
+        .when(F.substring(p, 1, 4) == F.lit(MAGIC["riff"]), "riff")
+        .when(F.substring(p, 1, 2) == F.lit(MAGIC["jpg"]), "jpg")
+        .otherwise("unknown")
+    )
+    return (
+        df.withColumn("n_bytes", F.octet_length(p).cast("long"))
+        .withColumn("payload_sha", F.sha2(p, 256))
+        .withColumn("sniffed_format", fmt)
+    )
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Real codec hook — requires PIL/librosa/av, absent in this container."""
+    raise NotImplementedError(
+        "media codecs (PIL/librosa/ffmpeg) are not installed in this "
+        "environment; pass decode_fn=fake_decode or a real codec wrapper"
+    )
+
+
+def fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in decoder: 16-bin byte histogram, L1-normalized.
+
+    Shape-compatible with a real embedding extractor (fixed-size float
+    vector per row) so downstream similarity/dedup operators run unchanged.
+    """
+    if not payload:
+        raise ValueError("empty payload")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+    return (hist / hist.sum()).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], np.ndarray] = real_decode,
+) -> DataFrame:
+    """Decode/feature-extract stage over ``mapInPandas`` Arrow batches.
+
+    Per-row errors are captured in-band (error column, null ⇔ ok) — the
+    reference's corrupt-file convention (hash_generator.py:102-114): a bad
+    payload never fails the stage.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats: list[list[float] | None] = []
+            errs: list[str | None] = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    feats.append(decode_fn(bytes(payload), kind).tolist())
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — in-band error channel
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "feature": feats,
+                    "error": errs,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks (no external data).
+
+    Payloads carry real magic bytes so format sniffing is non-trivial;
+    every third row is corrupt (empty payload) to exercise the error channel.
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        if i % 3 == 0 and i % 9 == 0:
+            payload = b""
+        else:
+            magic = {"image": MAGIC["png"], "audio": MAGIC["riff"], "video": MAGIC["jpg"]}[kind]
+            body = rng.integers(0, 256, size=64 + (i % 7) * 16, dtype=np.uint8)
+            payload = magic + body.tobytes()
+        rows.append(
+            (
+                f"m{i:04d}",
+                kind,
+                bytearray(payload),
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                16000 if kind == "audio" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

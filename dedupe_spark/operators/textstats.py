@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference's quality-assessment stage (/root/reference/quality_assessor.py)
+scores every image on format/resolution/size/sharpness with weighted-sum
+math (P7-P12 in SURVEY.md §2.2); these operators are the text-table analog a
+100 TB pretraining pipeline needs: quality scoring, language identification,
+token counting, and document fingerprinting.
+
+Everything here is pure ``pyspark.sql.functions`` column math — JVM-side,
+whole-stage-codegen'd, no UDFs — so Catalyst pushes filters below them and
+the parquet scan prunes to exactly the columns used. Each operator has an
+ANSI-SQL oracle twin in ``dedupe_spark.plans.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# The same regex drives Spark's regexp_count and DuckDB's regexp_extract_all.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Real language-ID ships big frequency tables; the *operator shape* —
+# array_intersect score per language, argmax via greatest/CASE — is what
+# matters and is identical at any table size.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "value", "is", "in"],
+    "fr": ["le", "la", "et", "de", "un", "une", "les", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "von", "zu"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), "\\s+")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish sub-tokens (regex runs).
+
+    JVM-side ``split``/``regexp_count`` — no UDF. At 100 TB this stays inside
+    whole-stage codegen and the scan reads only the text column.
+    """
+    c = F.col(text_col)
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(c), "\\s+"))
+    ).withColumn("bpe_tokens", F.regexp_count(c, F.lit(BPE_TOKEN_RE)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + weighted overall score.
+
+    Mirrors the reference's weighted-sum scoring
+    (quality_assessor.py:94-105: 0.30*fmt + 0.25*res + 0.20*size + 0.20*sharp
+    − 0.05*watermark, clamped ≥0) with text analogs:
+
+      length_score   = min(100, log10(chars)/4 * 100)      (≈ resolution P8)
+      word_score     = min(100, log10(1+words)/3 * 100)    (≈ size P9)
+      stopword_ratio = |tokens ∩ en-stopwords| / |distinct| (≈ sharpness P10)
+      punct_penalty  = punct_chars / chars                  (≈ watermark P11)
+
+      quality = max(0, 0.35*length + 0.35*word + 30*stop_ratio
+                       − 50*punct_penalty)
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_chars = F.length(c)
+    n_words = F.size(toks)
+    distinct_toks = F.array_distinct(toks)
+    stop_hits = F.size(F.array_intersect(distinct_toks, F.lit(LANG_STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    length_score = F.least(F.lit(100.0), F.log10(F.greatest(n_chars, F.lit(1))) / 4 * 100)
+    word_score = F.least(F.lit(100.0), F.log10(n_words + F.lit(1)) / 3 * 100)
+    stop_ratio = stop_hits / F.greatest(F.size(distinct_toks), F.lit(1))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    return (
+        df.withColumn("length_score", F.round(length_score, 4))
+        .withColumn("word_score", F.round(word_score, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    0.35 * length_score
+                    + 0.35 * word_score
+                    + 30 * stop_ratio
+                    - 50 * punct_ratio,
+                ),
+                4,
+            ),
+        )
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: score per language, argmax, 'und' on tie-0.
+
+    Pure array math (array_intersect over a literal list per language) —
+    scales as a narrow map stage; the per-language score columns are also
+    useful as quality filters.
+    """
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    out = df
+    for lang, words in LANG_STOPWORDS.items():
+        out = out.withColumn(
+            f"score_{lang}", F.size(F.array_intersect(toks, F.lit(words)))
+        )
+    scores = [F.col(f"score_{lang}") for lang in LANG_STOPWORDS]
+    best = F.greatest(*scores)
+    pred = F.lit("und")
+    # iterate in reverse so earlier languages win ties (deterministic)
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def shingle_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint over token k-grams.
+
+    posexplode tokens → lead() window builds k-gram strings → per-doc
+    ``min(md5(shingle))`` fingerprint + distinct-shingle count. The rolling
+    window (lead over token position) is the relational form of a rolling
+    hash; min-of-hashes is the winnowing selection. One shuffle
+    (window partition by doc), one groupBy on the same key — Catalyst reuses
+    the partitioning, so the groupBy adds no extra exchange.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = toks.select(
+        "id",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]
+        ).alias("gram"),
+        F.lead("tok", k - 1).over(w).isNotNull().alias("full"),
+    ).filter("full")
+    return grams.groupBy("id").agg(
+        F.min(F.md5(F.col("gram"))).alias("fingerprint"),
+        F.count_distinct("gram").alias("n_distinct_shingles"),
+    )

@@ -402,6 +402,359 @@ FROM documents
 """
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting (training-data ops; reference
+    quality_assessor.py:94-105 weighted-sum analog)."""
+    from dedupe_spark.operators.textstats import with_quality_score, with_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_token_counts(with_quality_score(docs), "text")
+    return out.select(
+        "doc_id",
+        "length_score",
+        "word_score",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+        "ws_tokens",
+        "bpe_tokens",
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS n_distinct,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+             ['the','a','of','and','to','value','is','in'])) AS stop_hits,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         least(100.0, log10(greatest(n_chars, 1)) / 4 * 100) AS length_raw,
+         least(100.0, log10(n_words + 1) / 3 * 100) AS word_raw,
+         stop_hits * 1.0 / greatest(n_distinct, 1) AS stop_raw,
+         punct * 1.0 / greatest(n_chars, 1) AS punct_raw,
+         n_words AS ws_tokens, bpe_tokens
+  FROM feats
+)
+SELECT doc_id,
+       round(length_raw, 4) AS length_score,
+       round(word_raw, 4) AS word_score,
+       round(stop_raw, 4) AS stopword_ratio,
+       round(punct_raw, 4) AS punct_ratio,
+       round(greatest(0.0, 0.35*length_raw + 0.35*word_raw + 30*stop_raw - 50*punct_raw), 4)
+         AS quality_score,
+       ws_tokens, bpe_tokens
+FROM scored
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language identification (training-data op)."""
+    from dedupe_spark.operators.textstats import with_language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_language_id(docs).select(
+        "doc_id", "score_en", "score_fr", "score_es", "score_de", "pred_lang"
+    ).orderBy("doc_id")
+
+
+SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_intersect(t, ['the','a','of','and','to','value','is','in'])) AS score_en,
+         len(list_intersect(t, ['le','la','et','de','un','une','les','est'])) AS score_fr,
+         len(list_intersect(t, ['el','la','los','y','de','un','una','es'])) AS score_es,
+         len(list_intersect(t, ['der','die','das','und','ein','ist','von','zu'])) AS score_de
+  FROM toks
+)
+SELECT doc_id, score_en, score_fr, score_es, score_de,
+       CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+            WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+            WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint per document (training-data
+    op; min-of-md5 over token 3-grams)."""
+    from dedupe_spark.operators.textstats import shingle_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shingle_fingerprints(docs, "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+SELECT doc_id, min(md5(gram)) AS fingerprint,
+       count(DISTINCT gram) AS n_distinct_shingles
+FROM grams GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard similarity self-join (set-similarity join)."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5).orderBy(
+        "id1", "id2"
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(ni * 1.0 / (s1.n + s2.n - ni), 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+WHERE ni * 1.0 / (s1.n + s2.n - ni) >= 0.5
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors (vec_id < 5)."""
+    from dedupe_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10
+    ).orderBy("q_id", "rank")
+
+
+SQL_KNN_COSINE = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (cos ≥ 0.45)."""
+    from dedupe_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.45).orderBy("id1", "id2")
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+"""
+
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column metadata: size/sha/prefix on opaque bytes —
+    the JVM-side (pushdown-friendly) half of the media plumbing."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+        F.upper(F.hex(F.substring(payload, 1, 4))).alias("prefix_hex"),
+    ).orderBy("doc_id")
+
+
+SQL_BINARY_METADATA = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha,
+       upper(hex(encode(substring(text, 1, 4)))) AS prefix_hex
+FROM documents
+"""
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table — the batch twin of
+    the Structured Streaming windowed-agg operator (streaming/windows.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_HOURLY_EVENTS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via session_window —
+    Spark's native session operator; oracle is the classic gaps-and-islands
+    SQL. Streaming-capable: identical code runs on a stream."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k (join-order/broadcast test)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only checks: pandas-UDF fingerprints,
+# iterative CC, LSH ANN, mapInPandas media features)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH + CC near-dedup over documents (pandas-UDF
+    fingerprints + iterative CC → rows-only check)."""
+    from dedupe_spark.operators.dedup import minhash_lsh_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedupe(docs, "doc_id", "text").orderBy("id")
+
+
+def q_simhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash banded-Hamming near-dedup over documents (rows-only)."""
+    from dedupe_spark.operators.dedup import simhash_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedupe(docs, "doc_id", "text").orderBy("id")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (rows-only; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    from dedupe_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # loose clusters in the synthetic embeddings → shorter signatures +
+    # more tables for candidate coverage
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_planes=6, n_tables=8
+    ).orderBy("q_id", "rank")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing over mapInPandas with the
+    deterministic fake decoder (rows-only; codecs stubbed per environment)."""
+    from dedupe_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        synthesize_media,
+        with_media_metadata,
+    )
+
+    media = with_media_metadata(synthesize_media(spark, n=64))
+    return extract_features(media, decode_fn=fake_decode).orderBy("media_id")
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -419,4 +772,18 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+        "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+        "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+        "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
+        "hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
+        "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+        "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+        "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, None),
+        "simhash_dedupe": (q_simhash_dedupe, None),
+        "ann_topk": (q_ann_topk, None),
+        "media_features": (q_media_features, None),
     }

@@ -1,0 +1,79 @@
+"""Multimodal binary-column plumbing tests: metadata sniffing stays JVM-side,
+mapInPandas feature extraction batches correctly, corrupt payloads flow
+through the in-band error channel, the real codec path is explicitly stubbed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.multimodal import (
+    extract_features,
+    fake_decode,
+    real_decode,
+    synthesize_media,
+    with_media_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return with_media_metadata(synthesize_media(spark, n=64)).cache()
+
+
+def test_metadata_format_sniffing(media):
+    by_kind = {
+        r["kind"]: r["sniffed_format"]
+        for r in media.filter("n_bytes > 0").select("kind", "sniffed_format").distinct().collect()
+    }
+    assert by_kind == {"image": "png", "audio": "riff", "video": "jpg"}
+
+
+def test_metadata_is_jvm_only(media):
+    # no BatchEvalPython / ArrowEvalPython in the metadata plan
+    plan = media._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_feature_extraction_shapes(media):
+    feats = extract_features(media, decode_fn=fake_decode)
+    ok = feats.filter("error IS NULL").collect()
+    assert ok and all(len(r["feature"]) == 16 for r in ok)
+    for r in ok:
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # L1-normalized histogram
+
+
+def test_corrupt_payloads_error_inband(media):
+    feats = extract_features(media, decode_fn=fake_decode)
+    bad = feats.filter("error IS NOT NULL").collect()
+    assert bad and all(r["feature"] is None for r in bad)
+    # stage did not fail; healthy + corrupt rows add up
+    assert feats.count() == media.count()
+
+
+def test_fake_decode_deterministic():
+    payload = bytes(range(256))
+    a = fake_decode(payload, "image")
+    b = fake_decode(payload, "image")
+    assert np.array_equal(a, b)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG....", "image")
+
+
+def test_features_feed_similarity_ops(spark, media):
+    """Decoded features are array<float> — directly usable by the embedding
+    dedup/similarity operators (schema interop check)."""
+    from dedupe_spark.operators.similarity import cosine_topk
+
+    feats = (
+        extract_features(media, decode_fn=fake_decode)
+        .filter("error IS NULL")
+        .select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
+        .cache()
+    )
+    out = cosine_topk(feats.limit(3), feats, k=4)
+    assert out.groupBy("q_id").count().filter("count != 4").count() == 0

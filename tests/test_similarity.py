@@ -1,0 +1,87 @@
+"""Similarity-search tests: exact top-k sanity, ANN recall vs brute force,
+embedding near-dedup clustering on planted vector families."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_dedupe,
+    embedding_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """60 vectors in 5 tight clusters + 10 isotropic noise vectors."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(5):
+        center = rng.standard_normal(16) * 3
+        for _ in range(10):
+            v = center + rng.standard_normal(16) * 0.05
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    for _ in range(10):
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)], -1))
+        vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).cache()
+
+
+def test_topk_finds_cluster_mates(vectors):
+    out = cosine_topk(vectors.filter("vec_id = 0"), vectors, k=9)
+    mates = {r["n_id"] for r in out.collect()}
+    assert mates == set(range(1, 10))  # cluster 0 = ids 0..9
+
+
+def test_topk_rank_deterministic(vectors):
+    a = cosine_topk(vectors.limit(5), vectors, k=5).collect()
+    b = cosine_topk(vectors.limit(5), vectors, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ann_recall_vs_bruteforce(vectors):
+    queries = vectors.filter("vec_id < 20")
+    exact = cosine_topk(queries, vectors, k=5).collect()
+    approx = ann_lsh_topk(
+        queries, vectors, k=5, dim=16, n_planes=8, n_tables=6
+    ).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["n_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_embedding_dedupe_clusters_match_labels(vectors):
+    out = embedding_dedupe(vectors, threshold=0.999)
+    labels = {r["label"]: set() for r in vectors.collect()}
+    cluster_of = {r["id"]: r["cluster_id"] for r in out.collect()}
+    truth = {r["vec_id"]: r["label"] for r in vectors.collect()}
+    for vid, lab in truth.items():
+        labels[lab].add(cluster_of[vid])
+    for c in range(5):  # each tight cluster → exactly one non-null cluster id
+        assert len(labels[c]) == 1 and None not in labels[c], (c, labels[c])
+
+
+def test_dup_pairs_triangular_and_thresholded(vectors):
+    pairs = embedding_dup_pairs(vectors, threshold=0.998)
+    rows = pairs.collect()
+    assert all(r["id1"] < r["id2"] for r in rows)
+    assert all(r["cos"] >= 0.998 for r in rows)
+    # every surviving pair is intra-cluster (ids 0..49 in blocks of 10)
+    label = {r["vec_id"]: r["label"] for r in vectors.collect()}
+    assert all(
+        label[r["id1"]] == label[r["id2"]] and label[r["id1"]] >= 0 for r in rows
+    )
+    assert len(rows) >= 200  # near-complete intra-cluster coverage (max 225)

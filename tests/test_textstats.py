@@ -1,0 +1,94 @@
+"""Unit tests for text-analysis operators (quality, lang-ID, fingerprints).
+
+Mirrors the reference's closed-form quality-formula validation
+(/root/reference/tests/test_quality_assessor.py:42-67, 242-278): known
+inputs → hand-computed expected scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.textstats import (
+    shingle_fingerprints,
+    with_language_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_token_counts_closed_form(spark):
+    rows = with_token_counts(
+        _df(spark, ["hello world", "a+b=c2", "  x  y  "]), "text"
+    ).orderBy("doc_id").collect()
+    assert [r["ws_tokens"] for r in rows] == [2, 1, 2]
+    # a+b=c2 → [a][+][b][=][c][2] = 6 BPE-ish tokens
+    assert rows[1]["bpe_tokens"] == 6
+
+
+def test_quality_score_closed_form(spark):
+    text = "the value of and to"  # 19 chars, 5 words, all stopwords, no punct
+    r = with_quality_score(_df(spark, [text]), "text").first()
+    exp_len = min(100.0, math.log10(19) / 4 * 100)
+    exp_word = min(100.0, math.log10(6) / 3 * 100)
+    assert abs(r["length_score"] - round(exp_len, 4)) < 1e-9
+    assert abs(r["word_score"] - round(exp_word, 4)) < 1e-9
+    assert r["stopword_ratio"] == 1.0
+    assert r["punct_ratio"] == 0.0
+    exp_q = max(0.0, 0.35 * exp_len + 0.35 * exp_word + 30 * 1.0)
+    assert abs(r["quality_score"] - round(exp_q, 4)) < 1e-3
+
+
+def test_quality_clamped_at_zero(spark):
+    r = with_quality_score(_df(spark, ["!!!!"]), "text").first()
+    assert r["quality_score"] == 0.0
+
+
+def test_language_id(spark):
+    rows = (
+        with_language_id(
+            _df(
+                spark,
+                [
+                    "the value of the table is in the row",
+                    "le chat et la table est de une les",
+                    "el perro y los gatos es una de",
+                    "der hund und die katze ist ein von zu",
+                    "zzz qqq www",
+                ],
+            )
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["pred_lang"] for r in rows] == ["en", "fr", "es", "de", "und"]
+
+
+def test_lang_id_tie_prefers_dict_order(spark):
+    # 'de' appears in both fr and es lists; one-word doc ties fr=es=1 → fr wins
+    r = with_language_id(_df(spark, ["de"])).first()
+    assert r["pred_lang"] == "fr"
+
+
+def test_shingle_fingerprint_deterministic_and_sensitive(spark):
+    texts = ["a b c d e", "a b c d e", "q w e r t"]
+    fp = {
+        r["id"]: (r["fingerprint"], r["n_distinct_shingles"])
+        for r in shingle_fingerprints(_df(spark, texts), "doc_id", "text", k=3).collect()
+    }
+    assert fp[0] == fp[1]  # identical text → identical fingerprint
+    assert fp[0][1] == 3  # 'a b c','b c d','c d e'
+    assert fp[0] != fp[2]  # disjoint shingle sets → different fingerprint
+
+
+def test_short_doc_yields_no_full_shingles(spark):
+    out = shingle_fingerprints(_df(spark, ["a b"]), "doc_id", "text", k=3)
+    assert out.count() == 0
