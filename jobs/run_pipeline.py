@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the record-linkage pipeline.
+
+Cluster usage (the packaged path, BASELINE.json north_star):
+
+    python jobs/package.py                       # builds dist/dedupe_spark.zip
+    spark-submit --py-files dist/dedupe_spark.zip jobs/run_pipeline.py \\
+        --input /data/files_parquet --warehouse /data/warehouse \\
+        --run-id nightly --threshold 10 --agreement 2
+
+CLI surface mirrors the reference (/root/reference/dedupe.py:14-37):
+--threshold (Hamming 0-64, default 10), --agreement (1-3, default 2),
+--sample N, --dry-run, --quiet, plus Spark-era options the reference lacks
+(--run-id/--resume checkpointing, --langs filter, --warehouse).
+
+Exit behavior mirrors the reference too: empty input exits 0 with a message
+(dedupe.py:122-124); per-row errors never fail the run (error-channel rows
+are reported, not raised).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local (non-spark-submit) runs: make the repo-root package importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="PySpark record-linkage pipeline")
+    p.add_argument("--input", required=True, help="parquet path with files schema "
+                   "(repo, path, commit, lang, content)")
+    p.add_argument("--documents", action="store_true",
+                   help="input is a documents table (doc_id, text, lang, source); "
+                        "map it onto the files schema")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--output", default=None,
+                   help="optional parquet path for surviving rows "
+                        "(representatives + singletons)")
+    p.add_argument("--threshold", type=int, default=10,
+                   help="simhash Hamming threshold 0-64 (default 10)")
+    p.add_argument("--agreement", type=int, default=2,
+                   help="consensus votes required, 1-3 (default 2)")
+    p.add_argument("--jaccard", type=float, default=0.7)
+    p.add_argument("--sample", type=int, default=None)
+    p.add_argument("--langs", default=None, help="comma-separated lang filter")
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if checkpoints exist")
+    p.add_argument("--dry-run", action="store_true",
+                   help="run + report, write no output table")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.operators.representative import survivors
+    from dedupe_spark.plans.staged import StagedPipeline
+    from dedupe_spark.session import get_spark
+
+    cfg = PipelineConfig(
+        hamming_threshold=args.threshold,
+        require_agreement=args.agreement,
+        jaccard_threshold=args.jaccard,
+        sample=args.sample,
+        run_id=args.run_id,
+        warehouse=args.warehouse,
+        langs=args.langs.split(",") if args.langs else [],
+        dry_run=args.dry_run,
+    )
+    spark = get_spark(app_name=f"dedupe_spark[{args.run_id}]", master=args.master)
+    if args.quiet:
+        spark.sparkContext.setLogLevel("ERROR")
+
+    files = spark.read.parquet(args.input)
+    if args.documents:
+        files = files.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    if files.isEmpty():  # reference: empty scan exits 0 (dedupe.py:122-124)
+        print("No input rows found — nothing to do.")
+        return 0
+
+    pipe = StagedPipeline(spark, cfg)
+    ran = pipe.run(files, resume=not args.no_resume)
+    result = pipe.result()
+
+    if args.output and not args.dry_run:
+        survivors(result).write.mode("overwrite").parquet(args.output)
+
+    # run report (duplicate_detector.py:191-217 / file_organizer.py:270-293)
+    sizes = (
+        result.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"), (F.sum("size") - F.max("size")).alias("saved"))
+    )
+    stats = sizes.agg(
+        F.count("*").alias("groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("members"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("largest"),
+        F.coalesce(F.sum("saved"), F.lit(0)).alias("space_saved"),
+    ).first()
+    errors = result.filter(F.col("error").isNotNull()).count()
+    report = {
+        "run_id": args.run_id,
+        "stages_ran": ran,
+        "total_files": result.count(),
+        "duplicate_groups": stats["groups"],
+        "files_in_groups": stats["members"],
+        "largest_group": stats["largest"],
+        "space_saved_bytes": stats["space_saved"],
+        "error_rows": errors,
+        "dry_run": args.dry_run,
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""Streaming tests: file-source stream + availableNow trigger + memory sink,
+asserting stream results == the batch twin over the same parquet."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.streaming.ops import (
+    running_totals_stateful,
+    sessionize,
+    streaming_exact_dedupe,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events parquet restaged into a stream-source directory."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    # watermarks require TIMESTAMP (with tz); the source parquet is NTZ
+    spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def _run_to_memory(df, name: str, mode: str = "append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    """Append-mode emits exactly the windows the final watermark has closed;
+    those must match the batch twin, and nothing outside batch may appear."""
+    import datetime as dt
+
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        windowed_event_counts(_stream(spark, events_dir)), name, mode="append"
+    )
+    batch = windowed_event_counts(spark.read.parquet(events_dir)).collect()
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    got = _rows(spark, name)
+    allb = {tuple(r) for r in batch}
+    closed = {
+        tuple(r) for r in batch if r["hour"] + dt.timedelta(hours=1) < cutoff
+    }
+    assert got, "stream emitted nothing"
+    assert closed <= got <= allb, (
+        len(closed), len(got), len(allb)
+    )
+
+
+def test_sessionize_stream_equals_batch(spark, events_dir):
+    import datetime as dt
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sessionize(_stream(spark, events_dir)), name, mode="append")
+    src = spark.read.parquet(events_dir)
+    batch_full = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    max_ts = src.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    got = _rows(spark, name)
+    allb = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch_full}
+    closed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch_full
+        if r["session_end"] < cutoff - dt.timedelta(seconds=1)
+    }
+    assert got, "stream emitted nothing"
+    assert closed <= got <= allb, (len(closed), len(got), len(allb))
+
+
+def test_streaming_exact_dedupe_one_row_per_sha(spark, tmp_path):
+    src = str(tmp_path / "files_stream")
+    rows = [
+        ("r1", "a.py", "def f(): pass"),
+        ("r2", "b.py", "def f(): pass"),  # exact dup of a.py
+        ("r3", "c.py", "def g(): pass"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "content"]).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        streaming_exact_dedupe(stream, ts_col="ts", watermark="10 minutes"), name
+    )
+    out = spark.sql(f"SELECT content_sha FROM {name}").collect()
+    assert len(out) == 2  # 3 rows, one duplicate sha collapsed
+    assert len({r["content_sha"] for r in out}) == 2
+
+
+def test_stateful_running_totals(spark, events_dir):
+    name = f"tot_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        running_totals_stateful(_stream(spark, events_dir)), name, mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            f"SELECT user_id, max(n_events) AS n_events, max(total_value) AS total_value "
+            f"FROM {name} GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, t) in batch.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 1e-6
