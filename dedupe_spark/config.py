@@ -39,6 +39,15 @@ class PipelineConfig:
     # before CC either way (SURVEY.md §4.2).
     max_bucket_size: int = 2000
     bucket_salt: int = 16
+    # bounded candidate degree: each bucket member links to at most this
+    # many successors per band (random per-band order) — candidates are
+    # O(n · bands · neighbors) instead of Σ bucket² (blocking.py docstring).
+    # With 32 bands this still gives each member ~128 distinct partners; small
+    # families (≤6) get full pairwise coverage either way.
+    neighbors_per_band: int = 4
+    # after cross-band dedup, keep each file's top-K partners by LSH
+    # evidence (n_bands) — bounds scoring + CC input to O(n · K)
+    max_candidate_degree: int = 8
 
     # --- clustering -------------------------------------------------------
     min_cluster_size: int = 2   # groups require ≥2 members (duplicate_detector.py:88-89)

