@@ -21,7 +21,7 @@ stable across runs, partitionings, and resume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -31,7 +31,6 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 50,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Return (file_id, component) for every vertex that appears in edges.
 
@@ -67,17 +66,27 @@ def connected_components(
             .groupBy("vid")
             .agg(F.min("component").alias("component"))
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "vid")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # convergence check piggybacks on the checkpoint materialization via
+        # observe() — ONE action per iteration instead of two (the separate
+        # changed-count job was half the loop's serial driver time)
+        obs = Observation()
+        flagged = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old_comp").hint(
+                    "shuffle_hash"
+                ),
+                "vid",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("old_comp")).cast("long")
+                ).alias("changed"),
+            )
+            .select("vid", "component")
         )
-        labels = new_labels
-        if changed == 0:
+        labels = flagged.localCheckpoint(eager=True)
+        if obs.get["changed"] == 0:
             break
 
     return labels.select(F.col("vid").alias("file_id"), "component")

@@ -1,0 +1,124 @@
+"""Source readers / sink writers for the files table.
+
+The reference's "sources" are a recursive directory walk with an extension
+filter (/root/reference/image_scanner.py:24-74) and its sink is a
+file-by-file copy loop (file_organizer.py:131-192). Spark-native
+equivalents: datasource scans (the file listing is what the datasource does
+natively — SURVEY.md §2.1 S1) and table writes (S6). These helpers pin the
+schema and the scan-hygiene knobs so every entry point reads the same way.
+
+Scale notes baked in here:
+  * explicit schema on CSV/JSON — schema inference is a full extra pass
+    over 100 TB.
+  * ``maxPartitionBytes`` left to session config; readers never coalesce.
+  * writers partition by a low-cardinality column (``lang``) so downstream
+    lang-filtered scans partition-prune, and support bucketing by file_id
+    for co-located self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Read a files table from parquet/csv/json with the canonical schema.
+
+    The lang filter is applied immediately after the scan so Catalyst pushes
+    it into the datasource (partition pruning if the table is partitioned by
+    lang — the Spark analog of the reference's extension predicate,
+    image_scanner.py:68-74).
+    """
+    reader = spark.read
+    if fmt == "parquet":
+        df = reader.parquet(path)
+    elif fmt == "csv":
+        df = reader.schema(FILES_SCHEMA).option("header", "true").option(
+            "multiLine", "true"
+        ).option("escape", '"').csv(path)
+    elif fmt == "json":
+        df = reader.schema(FILES_SCHEMA).json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt!r}")
+    missing = set(f.name for f in FILES_SCHEMA.fields) - set(df.columns)
+    if missing:
+        raise ValueError(f"files table at {path} missing columns: {sorted(missing)}")
+    if langs:
+        df = df.filter(F.lower(F.col("lang")).isin([l.lower() for l in langs]))
+    return df
+
+
+def read_documents_as_files(spark: SparkSession, path: str) -> DataFrame:
+    """Map a documents table (doc_id, text, lang, source) onto the files shape."""
+    docs = spark.read.parquet(path)
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def write_output(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write an output table, partitioned for downstream pruning.
+
+    Default partitioning by ``lang`` mirrors the reference's
+    structure-preserving output option (file_organizer.py:144-154): the
+    partition directory layout *is* the preserved structure.
+    """
+    cols = partition_by if partition_by is not None else (
+        ["lang"] if "lang" in df.columns else []
+    )
+    w = df.write.mode(mode)
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int = 64,
+    bucket_col: str = "file_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed table (saveAsTable) so self-joins on
+    ``bucket_col`` are co-located — no shuffle on the probe side.
+
+    At 100 TB this is the difference between re-shuffling fingerprints for
+    every pairwise stage and reading pre-hashed buckets; sortBy makes the
+    join a bucket-local sort-merge.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

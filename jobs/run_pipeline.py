@@ -81,15 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.quiet:
         spark.sparkContext.setLogLevel("ERROR")
 
-    files = spark.read.parquet(args.input)
+    from dedupe_spark.sources.io import read_documents_as_files, read_files
+
     if args.documents:
-        files = files.select(
-            F.col("source").alias("repo"),
-            F.col("doc_id").cast("string").alias("path"),
-            F.lit("0").alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-        )
+        files = read_documents_as_files(spark, args.input)
+    else:
+        files = read_files(spark, args.input)
     if files.isEmpty():  # reference: empty scan exits 0 (dedupe.py:122-124)
         print("No input rows found — nothing to do.")
         return 0

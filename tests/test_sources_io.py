@@ -1,0 +1,86 @@
+"""sources/ layer tests: schema-pinned readers, partitioned writer,
+catalog commit semantics (the resume gate's foundation)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.sources.catalog import Catalog
+from dedupe_spark.sources.io import (
+    FILES_SCHEMA,
+    read_documents_as_files,
+    read_files,
+    write_output,
+)
+
+ROWS = [
+    ("r1", "a.py", "c0", "python", "def a(): pass"),
+    ("r1", "b.js", "c0", "js", "function b() {}"),
+    ("r2", "c.py", "c1", "python", "def c(): pass"),
+]
+
+
+@pytest.fixture(scope="module")
+def files_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("files_src") / "files")
+    spark.createDataFrame(ROWS, FILES_SCHEMA).write.parquet(d)
+    return d
+
+
+def test_read_files_parquet_and_lang_filter(spark, files_parquet):
+    assert read_files(spark, files_parquet).count() == 3
+    only_py = read_files(spark, files_parquet, langs=["PYTHON"])
+    assert only_py.count() == 2  # case-insensitive lang match
+
+
+def test_read_files_csv_with_pinned_schema(spark, tmp_path):
+    d = str(tmp_path / "csv")
+    spark.createDataFrame(ROWS, FILES_SCHEMA).write.option("header", "true").option(
+        "escape", '"'
+    ).csv(d)
+    df = read_files(spark, d, fmt="csv")
+    assert df.schema == FILES_SCHEMA
+    assert df.count() == 3
+
+
+def test_read_files_rejects_wrong_shape(spark, tmp_path):
+    d = str(tmp_path / "bad")
+    spark.range(3).write.parquet(d)
+    with pytest.raises(ValueError, match="missing columns"):
+        read_files(spark, d)
+
+
+def test_read_files_rejects_unknown_format(spark, files_parquet):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_files(spark, files_parquet, fmt="orcish")
+
+
+def test_documents_mapping(spark):
+    out = read_documents_as_files(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert set(out.columns) == {"repo", "path", "commit", "lang", "content"}
+    assert out.count() == 500
+
+
+def test_write_output_partitions_by_lang(spark, tmp_path):
+    d = str(tmp_path / "out")
+    write_output(spark.createDataFrame(ROWS, FILES_SCHEMA), d)
+    subdirs = {p for p in os.listdir(d) if p.startswith("lang=")}
+    assert subdirs == {"lang=python", "lang=js"}
+    assert spark.read.parquet(d).count() == 3
+
+
+def test_catalog_commit_semantics(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(ROWS, FILES_SCHEMA)
+    assert not cat.exists("t1")
+    assert cat.write(df, "t1") == 3
+    assert cat.exists("t1") and cat.rows("t1") == 3
+    assert cat.read("t1").count() == 3
+    # a data directory without a manifest entry is NOT committed
+    df.write.mode("overwrite").parquet(cat.path("t2"))
+    assert not cat.exists("t2")
+    cat.drop("t1")
+    assert not cat.exists("t1") and cat.rows("t1") is None
