@@ -1,0 +1,64 @@
+"""Physical-plan hygiene gates (SURVEY §4): filters reach the parquet scan,
+JVM-expressible paths contain no Python eval, small dims broadcast, and the
+pair-scoring Hamming kernel is codegen'd — asserted on the executed plans so
+regressions fail loudly instead of silently costing 10× at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.plans.queries import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    q = registry()["pricing_summary"][0](spark, SF)
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    q = registry()["lang_histogram"][0](spark, SF)
+    plan = _plan(q)
+    # documents has 5 columns; the scan must read only `lang`
+    read = plan.split("ReadSchema")[1][:120]
+    assert "lang" in read and "text" not in read
+
+
+def test_jvm_only_queries_have_no_python_eval(spark):
+    for name in ["token_count", "text_quality", "lang_id", "binary_metadata"]:
+        plan = _plan(registry()[name][0](spark, SF))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_small_dimension_broadcasts(spark):
+    plan = _plan(registry()["top_customers"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scoring_hamming_is_codegen(spark):
+    """bit_count(xor) must live inside WholeStageCodegen, not a UDF."""
+    from dedupe_spark.operators.scoring import score_pairs
+
+    pairs = spark.createDataFrame([("a", "b")], ["id1", "id2"])
+    fp = spark.createDataFrame(
+        [("a", 3, [1, 2], "s1"), ("b", 5, [1, 3], "s2")],
+        "file_id string, simhash long, minhash_sig array<int>, content_sha string",
+    )
+    plan = _plan(
+        score_pairs(
+            pairs, fp, hamming_threshold=10, jaccard_threshold=0.7, require_agreement=2
+        )
+    )
+    # bit_count is a JVM expression; the only Python node allowed is the
+    # Arrow-batched jaccard UDF (never row-at-a-time BatchEvalPython)
+    assert "bit_count" in plan
+    assert "BatchEvalPython" not in plan
