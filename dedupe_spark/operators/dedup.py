@@ -226,6 +226,7 @@ def ngram_jaccard_pairs(
     *,
     k: int = 2,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity self-join, fully relational.
 
@@ -235,9 +236,13 @@ def ngram_jaccard_pairs(
     whole plan is codegen'd and the oracle twin runs verbatim in DuckDB.
 
     Scale note: the gram join is the textbook prefix-filter candidate; hot
-    grams (stopword shingles) are the skew risk — at 100 TB add a document-
-    frequency cap (drop grams with df > D) exactly like dropping size-1 LSH
-    buckets; the Jaccard math is unchanged for pairs that share any rare gram.
+    grams (stopword shingles) are the skew risk. ``max_df`` drops grams
+    appearing in more than that many documents from the universe BEFORE the
+    join — the standard set-similarity-join df-cap. Similarity then means
+    "Jaccard over sub-ubiquitous grams" (hot grams carry no discriminative
+    signal anyway); each per-gram join group shrinks from O(df²) to
+    O(max_df²). The SQL oracle applies the identical cap, so parity holds
+    exactly.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -258,6 +263,11 @@ def ngram_jaccard_pairs(
         .select("id", "gram")
         .distinct()
     )
+    if max_df is not None:
+        w_df = Window.partitionBy("gram")
+        grams = grams.withColumn("df", F.count("*").over(w_df)).filter(
+            F.col("df") <= max_df
+        ).drop("df")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (

@@ -522,9 +522,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5).orderBy(
-        "id1", "id2"
-    )
+    # df-cap 200: hot grams join O(df²) rows for zero discriminative signal;
+    # the oracle applies the identical cap (same semantics both engines)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.5, max_df=200
+    ).orderBy("id1", "id2")
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
@@ -533,10 +535,14 @@ WITH toks AS (
          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
          generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
   FROM documents
-), grams AS (
+), grams_all AS (
   SELECT DISTINCT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY lead(tok, 1) OVER w IS NOT NULL
+), grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams_all
+  ) WHERE df <= 200
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
 ), inter AS (
