@@ -15,6 +15,14 @@ practice. Each iteration is one shuffle (groupBy id) + one join;
 iteration count (critical at scale: without it Catalyst re-derives the
 whole chain every iteration).
 
+Vertex-id compaction: callers pass string ids (sha256-hex file_ids ≈ 64
+bytes); shuffling those every iteration costs ~8× the bytes of a long. So
+non-integral ids are mapped to unique longs (``monotonically_increasing_id``
+over the checkpointed distinct-vertex frame — unique by construction, no
+collision risk unlike hashing at 10^12 ids) before the loop, and the final
+label is re-resolved to the MINIMUM ORIGINAL id of each component, so the
+output is byte-identical to running the loop on strings.
+
 Determinism: the component label is the minimum file_id of the component —
 stable across runs, partitionings, and resume.
 """
@@ -23,27 +31,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def connected_components(
-    edges: DataFrame,
-    *,
-    id1: str = "id1",
-    id2: str = "id2",
-    max_iterations: int = 50,
-) -> DataFrame:
-    """Return (file_id, component) for every vertex that appears in edges.
-
-    Vertices not present in ``edges`` are simply absent — callers treat
-    missing rows as singletons (cluster_id null), matching the reference's
-    "groups require >=2 members" rule (duplicate_detector.py:88-89).
-    """
-    spark = edges.sparkSession
-    e = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    # symmetric closure once; propagation then only needs one direction
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").localCheckpoint(eager=True)
-
+def _propagate(sym: DataFrame, max_iterations: int) -> DataFrame:
+    """Min-label loop over symmetric long-id edges → (vid, component)."""
     labels = (
         sym.select(F.col("src").alias("vid"))
         .distinct()
@@ -51,7 +45,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for it in range(max_iterations):
+    for _it in range(max_iterations):
         # min label among self + neighbors.  shuffle_hash hint: both sides
         # are data-scale; AQE's size estimate of the checkpointed labels
         # frame can otherwise pick a driver-side broadcast and OOM (observed
@@ -86,7 +80,69 @@ def connected_components(
             .select("vid", "component")
         )
         labels = flagged.localCheckpoint(eager=True)
-        if obs.get["changed"] == 0:
+        # sum over ZERO rows observes NULL (None), which must also stop the
+        # loop — an empty edge set otherwise burns all max_iterations jobs
+        if (obs.get["changed"] or 0) == 0:
             break
 
-    return labels.select(F.col("vid").alias("file_id"), "component")
+    return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Return (file_id, component) for every vertex that appears in edges.
+
+    Vertices not present in ``edges`` are simply absent — callers treat
+    missing rows as singletons (cluster_id null), matching the reference's
+    "groups require >=2 members" rule (duplicate_detector.py:88-89).
+    """
+    e = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    compact = not isinstance(e.schema["src"].dataType, _INTEGRAL)
+
+    if compact:
+        # string ids → unique longs for the loop; ~8x smaller per-iteration
+        # shuffles than sha256-hex ids. Checkpoint freezes the (otherwise
+        # non-deterministic) monotonically_increasing_id assignment.
+        verts = (
+            e.select(F.col("src").alias("orig_id"))
+            .union(e.select(F.col("dst").alias("orig_id")))
+            .distinct()
+            .withColumn("vid_long", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        m_src = verts.select(
+            F.col("orig_id").alias("src"), F.col("vid_long").alias("src_l")
+        )
+        m_dst = verts.select(
+            F.col("orig_id").alias("dst"), F.col("vid_long").alias("dst_l")
+        )
+        e = (
+            e.join(m_src.hint("shuffle_hash"), "src")
+            .join(m_dst.hint("shuffle_hash"), "dst")
+            .select(F.col("src_l").alias("src"), F.col("dst_l").alias("dst"))
+        )
+
+    # symmetric closure once; propagation then only needs one direction
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition("src").localCheckpoint(eager=True)
+
+    labels = _propagate(sym, max_iterations)
+
+    if not compact:
+        return labels.select(F.col("vid").alias("file_id"), "component")
+
+    # map back and re-resolve the deterministic label: component =
+    # min(original id) of the component (min-long ≠ min-string in general).
+    # Both shuffles are component-scale, not edge-scale.
+    with_orig = labels.join(
+        verts.withColumnRenamed("vid_long", "vid").hint("shuffle_hash"), "vid"
+    ).select(F.col("orig_id").alias("file_id"), F.col("component").alias("comp_l"))
+    rep = with_orig.groupBy("comp_l").agg(F.min("file_id").alias("component"))
+    return with_orig.join(rep.hint("shuffle_hash"), "comp_l").select(
+        "file_id", "component"
+    )

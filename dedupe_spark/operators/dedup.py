@@ -142,6 +142,52 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    fingerprints: DataFrame, *, hamming_threshold: int = 6
+) -> DataFrame:
+    """(id, simhash) → all pairs (id1 < id2) within Hamming ≤ threshold.
+
+    Pigeonhole-complete banded blocking: the 64-bit fingerprint is split
+    into ``threshold + 1`` near-equal chunks (a pair at distance d differs
+    in at most d chunks, so with ≥ d+1 chunks one chunk matches exactly) —
+    candidates come from ``threshold + 1`` hash equi-self-joins, never a
+    cross join, and recall is guaranteed, not probabilistic. Residual
+    predicate is the exact XOR popcount (hash_generator.py:116-140's loop,
+    as JVM ``bit_count``).
+    """
+    # ≥2 chunks keeps every chunk width ≤ 32 bits (mask fits a long)
+    n_chunks = max(2, min(hamming_threshold + 1, 64))
+    bounds = [64 * i // n_chunks for i in range(n_chunks + 1)]
+    chunks = fingerprints.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), bounds[i]).bitwiseAND(
+                        F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_threshold)
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
 def simhash_dedupe(
     df: DataFrame,
     id_col: str,
@@ -152,11 +198,16 @@ def simhash_dedupe(
 ) -> DataFrame:
     """Near-dedup via 64-bit simhash + banded-Hamming blocking + CC.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into 4 × 16-bit
-    chunks; any pair within Hamming distance ≤ 3·(64/16)−1 shares at least
-    one chunk, so candidates come from 4 cheap equi-self-joins instead of a
-    cross join. Residual predicate is the exact popcount
-    (hash_generator.py:116-140's XOR+popcount, as JVM ``bit_count``).
+    Pigeonhole blocking: split the 64-bit fingerprint into ``c`` chunks.
+    A pair within Hamming distance ``d`` has its differing bits in at most
+    ``d`` chunks, so with ``c ≥ d + 1`` chunks at least one chunk is
+    bit-identical — candidates come from ``c`` cheap equi-self-joins
+    instead of a cross join, with guaranteed recall. ``c`` is derived from
+    ``hamming_threshold`` (threshold 6 → 8 chunks of 8 bits; the old fixed
+    4 × 16-bit layout only guaranteed recall for d ≤ 3 and silently missed
+    pairs at d = 4..6 whose diffs spread across all four chunks).
+    Residual predicate is the exact popcount (hash_generator.py:116-140's
+    XOR+popcount, as JVM ``bit_count``).
     Returns (id, cluster_id, is_representative); null cluster ⇔ singleton.
     """
     cfg = cfg or PipelineConfig()
@@ -174,35 +225,7 @@ def simhash_dedupe(
         rows=cfg.lsh_rows,
     ).select(F.col("path").alias("id"), "simhash", "error")
     healthy = fp.filter(F.col("error").isNull()).select("id", "simhash").cache()
-
-    chunks = healthy.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_id", "chunk"),
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    edges = (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= hamming_threshold)
-        .dropDuplicates(["id1", "id2"])
-    )
+    edges = simhash_hamming_pairs(healthy, hamming_threshold=hamming_threshold)
     comp = connected_components(edges)
     out = healthy.join(
         comp.select(
@@ -278,19 +301,15 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col("id").alias("id1"), F.col("n_grams").alias("n1"))
     s2 = sizes.select(F.col("id").alias("id2"), F.col("n_grams").alias("n2"))
+    # filter on the UNROUNDED ratio (the oracle's WHERE clause does the
+    # same) — rounding only the output column avoids a parity flake for
+    # pairs in [threshold - 5e-7, threshold)
+    ratio = F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
     return (
         inter.join(s1, "id1")
         .join(s2, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .filter(ratio >= threshold)
+        .select("id1", "id2", F.round(ratio, 6).alias("jaccard"))
     )
 
 

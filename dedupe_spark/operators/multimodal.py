@@ -108,8 +108,13 @@ def extract_features(
         for pdf in it:
             feats: list[list[float] | None] = []
             errs: list[str | None] = []
+            sizes: list[int] = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                # n_bytes inside the per-row try too: a NULL payload must
+                # become an error row, never fail the stage (in-band
+                # error contract, hash_generator.py:102-114)
                 try:
+                    sizes.append(len(payload) if payload is not None else 0)
                     feats.append(decode_fn(bytes(payload), kind).tolist())
                     errs.append(None)
                 except Exception as e:  # noqa: BLE001 — in-band error channel
@@ -119,7 +124,7 @@ def extract_features(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": sizes,
                     "feature": feats,
                     "error": errs,
                 }

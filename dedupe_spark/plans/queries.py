@@ -120,11 +120,13 @@ sizes AS (
   HAVING count(*) >= 2
 )
 SELECT count(*) AS total_groups,
-       coalesce(sum(n), 0) AS total_members,
-       coalesce(max(n), 0) AS largest_group,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS total_members,
+       CAST(coalesce(max(n), 0) AS BIGINT) AS largest_group,
        round(coalesce(avg(n), 0.0), 4) AS avg_group_size
 FROM sizes
 """
+# ^ CAST: DuckDB sum(BIGINT) yields HUGEINT (fetches as float64) while Spark
+# returns bigint — identical values, different hash. Cast pins the dtype.
 
 
 def q_space_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +159,7 @@ per_group AS (
   SELECT cluster_id, count(*) AS n, sum(n_chars) - max(n_chars) AS saved
   FROM joined GROUP BY cluster_id HAVING count(*) >= 2
 )
-SELECT coalesce(sum(saved), 0) AS total_space_saved,
+SELECT CAST(coalesce(sum(saved), 0) AS BIGINT) AS total_space_saved,
        count(*) AS groups_with_savings
 FROM per_group
 """
@@ -737,7 +739,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over mapInPandas with the
-    deterministic fake decoder (rows-only; codecs stubbed per environment)."""
+    deterministic fake decoder (rows-only; codecs stubbed per environment).
+
+    The raw ``feature: array<float>`` column is projected to hashable
+    scalars (L1 mass, argmax bin, sha of the JSON form) — the driver's
+    pandas canonicalizer factorizes object columns, and Python lists are
+    unhashable. The array operator itself is unchanged and unit-tested.
+    """
     from dedupe_spark.operators.multimodal import (
         extract_features,
         fake_decode,
@@ -746,7 +754,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = with_media_metadata(synthesize_media(spark, n=64))
-    return extract_features(media, decode_fn=fake_decode).orderBy("media_id")
+    feats = extract_features(media, decode_fn=fake_decode)
+    feat = F.col("feature")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(
+            F.aggregate(feat, F.lit(0.0), lambda acc, v: acc + v), 4
+        ).alias("feature_l1"),
+        F.array_position(feat, F.array_max(feat)).cast("int").alias("top_bin"),
+        F.sha2(F.to_json(feat), 256).alias("feature_sha"),
+        "error",
+    ).orderBy("media_id")
 
 
 def registry() -> dict[str, tuple[Callable, str | None]]:

@@ -1,0 +1,122 @@
+"""Unit tests for the standalone dedup strategies' blocking guarantees.
+
+Planted-adversary tests: the simhash pigeonhole layout must find every
+pair within the Hamming threshold (the reference's exhaustive O(n²)
+popcount loop, duplicate_detector.py:58-87, finds them all — banding is
+only allowed to be faster, not lossier).
+"""
+
+from __future__ import annotations
+
+from dedupe_spark.operators.cc import connected_components
+from dedupe_spark.operators.dedup import simhash_hamming_pairs
+
+
+def _signed(v: int) -> int:
+    """Unsigned 64-bit literal → Java long (two's complement)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _pairs(spark, sims: dict[str, int], threshold: int) -> set[tuple[str, str]]:
+    df = spark.createDataFrame(
+        [(k, _signed(v)) for k, v in sims.items()], "id string, simhash long"
+    )
+    got = simhash_hamming_pairs(df, hamming_threshold=threshold).collect()
+    return {(r["id1"], r["id2"]) for r in got}
+
+
+def test_simhash_pairs_distance_spread_across_old_chunks(spark):
+    """d=5 pair whose differing bits land in ≥4 different 16-bit chunks —
+    the old fixed 4×16 layout shared no chunk and silently missed it."""
+    base = 0x0123456789ABCDEF
+    # flip bits 2, 18, 34, 50, 60: one in each 16-bit quarter (+1 extra)
+    spread = base ^ ((1 << 2) | (1 << 18) | (1 << 34) | (1 << 50) | (1 << 60))
+    sims = {"a": base, "b": spread, "z": ~base & ((1 << 64) - 1)}
+    assert ("a", "b") in _pairs(spark, sims, threshold=6)
+
+
+def test_simhash_pairs_exhaustive_small(spark):
+    """Banded blocking == brute force on a planted set, several thresholds."""
+    import itertools
+
+    sims = {
+        "a": 0x0123456789ABCDEF,
+        "b": 0x0123456789ABCDEF ^ 0b111,                      # d=3, one chunk
+        "c": 0x0123456789ABCDEF ^ ((1 << 5) | (1 << 25) | (1 << 45) | (1 << 63)),  # d=4 spread
+        "d": 0xFEDCBA9876543210,
+        "e": 0xFEDCBA9876543210 ^ ((1 << 1) | (1 << 17) | (1 << 33) | (1 << 49) | (1 << 62) | (1 << 13)),  # d=6 spread
+        "f": 0x0000000000000000,
+    }
+    mask = (1 << 64) - 1
+    for t in (0, 3, 4, 6, 10):
+        brute = {
+            tuple(sorted((i, j)))
+            for i, j in itertools.combinations(sims, 2)
+            if bin((sims[i] ^ sims[j]) & mask).count("1") <= t
+        }
+        assert _pairs(spark, sims, threshold=t) == brute, f"threshold {t}"
+
+
+def _truth_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[str, list[str]] = {}
+    for v in parent:
+        comps.setdefault(find(v), []).append(v)
+    return {v: min(vs) for vs in comps.values() for v in vs}
+
+
+def test_cc_string_ids_label_is_min_original_id(spark):
+    """Long-id compaction must re-resolve labels to the min ORIGINAL id —
+    ids chosen so lexicographic min ≠ min of any assignment order."""
+    edges = [
+        ("zz9", "aa1"), ("aa1", "mm5"),          # comp label aa1
+        ("bb2", "bb3"),                           # comp label bb2
+        ("x1", "x2"), ("x2", "x3"), ("x3", "x4"),  # chain, label x1
+    ]
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {
+        r["file_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _truth_components(edges)
+
+
+def test_cc_long_ids_passthrough(spark):
+    edges = [(10, 3), (3, 7), (100, 200)]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {
+        r["file_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {10: 3, 3: 3, 7: 3, 100: 100, 200: 100}
+
+
+def test_cc_empty_edges_returns_empty(spark):
+    df = spark.createDataFrame([], "id1 string, id2 string")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_converges_without_spinning(spark):
+    """Empty/converged inputs must break out of the loop, not run all 50
+    iterations (the observe() NULL-on-zero-rows regression)."""
+    import time
+
+    df = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
+    t0 = time.perf_counter()
+    connected_components(df, max_iterations=50).collect()
+    took = time.perf_counter() - t0
+    # 2 propagation iterations; 50 eager checkpoints would take far longer
+    assert took < 30, f"CC took {took:.1f}s — convergence check not firing?"
