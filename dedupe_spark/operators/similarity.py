@@ -158,29 +158,93 @@ def ann_lsh_topk(
     )
 
 
+@pandas_udf(T.DoubleType())
+def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine over two array columns (numpy, no per-row Python)."""
+    ma = np.vstack(a.to_numpy()).astype(np.float64)
+    mb = np.vstack(b.to_numpy()).astype(np.float64)
+    num = (ma * mb).sum(axis=1)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(np.round(num / np.maximum(den, 1e-12), 6))
+
+
+def _lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Distributed near-dup pairs via hyperplane-LSH bucketing — the scale
+    tier of ``embedding_dup_pairs``: no driver collect, no cross join; the
+    candidate join is a hash equi-join on (table, signature) and the exact
+    cosine reranks candidates. Recall is probabilistic: for cos ≥ 0.95 the
+    defaults give ≥ 0.998 per-pair candidate probability
+    ((1 − (1 − (1 − θ/π)^8)^12 with θ ≈ 18°)."""
+    head = df.select(vec_col).head()
+    dim = len(head[0]) if head else 0
+    if dim == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"id1 {df.schema[id_col].dataType.simpleString()}, "
+            f"id2 {df.schema[id_col].dataType.simpleString()}, cos double"
+        )
+    sigs = [
+        make_hyperplane_udf(dim, n_planes, seed=142 + t) for t in range(n_tables)
+    ]
+    d = _as_double(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
+    )
+    exploded = d.select(
+        "id", "vec", F.posexplode(F.array(*[s(F.col("vec")) for s in sigs])).alias(
+            "tbl", "sig"
+        )
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.vec").alias("v1"),
+            F.col("b.vec").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("cos", _pair_cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """All (id1 < id2) pairs with cosine ≥ threshold — exact brute-force tier.
+    """All (id1 < id2) pairs with cosine ≥ threshold.
 
-    Physical strategy: broadcast one (normalized) copy of the corpus as a
-    numpy matrix; each Arrow batch of rows computes a (batch × corpus) BLAS
-    matmul inside ``mapInPandas`` and emits only above-threshold pairs with
-    ``id1 < id2`` (the reference's triangular ``j > i``,
-    duplicate_detector.py:76). That is O(n²) flops but zero shuffled pairs —
-    the 12.5M-row pair join this replaces was ~50× slower because per-pair
-    array aggregates don't vectorize.
+    Two physical tiers behind one API:
 
-    Scale path: the broadcast side must fit executor memory (~1 GB ≈ 4M
-    vectors at dim 64). Beyond that, tile the broadcast (outer loop over
-    corpus chunks, union the outputs) or use ``ann_lsh_topk``'s bucketing;
-    semantics identical after rerank.
+    * **exact tier** (corpus ≤ ``max_broadcast_rows``): broadcast one
+      (normalized) copy of the corpus as a numpy matrix; each Arrow batch
+      computes a (batch × corpus) BLAS matmul inside ``mapInPandas`` and
+      emits only above-threshold pairs with ``id1 < id2`` (the reference's
+      triangular ``j > i``, duplicate_detector.py:76). O(n²) flops, zero
+      shuffled pairs. The broadcast is GUARDED: ~1 GB ≈ 2M vectors at
+      dim 64 — never an unbounded driver collect.
+    * **LSH tier** (above the guard): hyperplane-signature equi-join +
+      exact cosine rerank (``_lsh_dup_pairs``) — fully distributed, recall
+      ≥ 0.998 at the 0.95 default threshold.
     """
     from collections.abc import Iterator
+
+    if df.count() > max_broadcast_rows:
+        return _lsh_dup_pairs(df, id_col, vec_col, threshold)
 
     rows = df.select(F.col(id_col), F.col(vec_col)).collect()
     ids = np.array([r[0] for r in rows])

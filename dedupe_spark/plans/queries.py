@@ -49,13 +49,21 @@ FROM keyed k JOIN g USING (sha)
 
 
 def _wordset_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized bag-of-words dedup key: sorted distinct tokens.
+    """Normalized bag-of-words dedup key: md5 of the sorted distinct tokens.
 
     A real training-data dedup technique (normalization-insensitive exact
-    dedup); on the synthetic docs it produces non-trivial clusters."""
+    dedup); on the synthetic docs it produces non-trivial clusters.
+
+    The groupBy key is the md5 of the sorted-vocab string, not the string
+    itself — the raw key is unbounded in document vocabulary (shuffle width
+    scales with text size at 100 TB); the 32-hex digest is fixed-width.
+    Semantics identical modulo md5 collisions (the oracle hashes too)."""
     docs = _t(spark, sf_dir, "documents")
-    key = F.array_join(
-        F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), "\\s+"))), " "
+    key = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), "\\s+"))),
+            " ",
+        )
     )
     keyed = docs.select(F.col("doc_id").alias("id"), key.alias("wkey"))
     g = keyed.groupBy("wkey").agg(
@@ -66,8 +74,8 @@ def _wordset_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WORDSET_KEYED = """
   SELECT doc_id AS id,
-         array_to_string(list_sort(list_distinct(
-             regexp_split_to_array(trim(text), '\\s+'))), ' ') AS wkey
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS wkey
   FROM documents
 """
 
@@ -188,13 +196,27 @@ LIMIT 10
 
 def q_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 argmax-in-group (duplicate_detector.py:113-153): best doc per lang
-    by (n_chars desc, doc_id asc) — the deterministic tuple-max window."""
+    by (n_chars desc, doc_id asc) — the deterministic tuple-max.
+
+    Computed as min(struct(-n_chars, doc_id)) per group, NOT a window:
+    with ~5 langs a row_number window puts 1/5 of the table in a single
+    task (a straight wall at 100× scale), while the struct-min groupBy
+    gets map-side partial aggregation — each partition contributes one
+    candidate row per lang."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    best = F.min(
+        F.struct(
+            (-F.col("n_chars")).alias("neg_chars"), F.col("doc_id").alias("doc_id")
+        )
+    ).alias("best")
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", "doc_id", "n_chars")
+        docs.groupBy("lang")
+        .agg(best)
+        .select(
+            "lang",
+            F.col("best.doc_id").alias("doc_id"),
+            (-F.col("best.neg_chars")).alias("n_chars"),
+        )
         .orderBy("lang")
     )
 
@@ -229,25 +251,39 @@ WHERE k.id = g.rep OR g.n = 1
 
 def q_conflict_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (file_organizer.py:194-224): name-conflict `_1,_2,…` suffixing via
-    row_number — replaces the reference's sequential mutable-set state."""
+    row_number — replaces the reference's sequential mutable-set state.
+
+    The reference's conflict key is the FILENAME inside a destination dir —
+    high-cardinality. The documents analog: destination = (source, lang),
+    name = the first words of the text (a title slug). Partitioning the
+    window by (source, lang, name) keeps every partition tiny (cardinality
+    grows with the corpus); the old (source, lang)-only key put 1/|dirs| of
+    the table in one task — a skew wall at scale."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    name = F.regexp_replace(F.substring(F.trim(F.col("text")), 1, 12), "\\s", "-")
+    base = F.concat_ws("/", "source", "lang", name)
+    w = Window.partitionBy("source", "lang", name.alias("name")).orderBy("doc_id")
     rn = F.row_number().over(w)
     return docs.select(
         "doc_id",
-        F.when(rn == 1, F.concat_ws("_", "source", "lang"))
-        .otherwise(F.concat(F.concat_ws("_", "source", "lang"), F.lit("_"), (rn - 1)))
+        F.when(rn == 1, base)
+        .otherwise(F.concat(base, F.lit("_"), (rn - 1)))
         .alias("out_name"),
     ).orderBy("doc_id")
 
 
 SQL_CONFLICT_SUFFIX = """
 SELECT doc_id,
-       CASE WHEN rn = 1 THEN source || '_' || lang
-            ELSE source || '_' || lang || '_' || CAST(rn - 1 AS VARCHAR) END AS out_name
+       CASE WHEN rn = 1 THEN source || '/' || lang || '/' || name
+            ELSE source || '/' || lang || '/' || name || '_' || CAST(rn - 1 AS VARCHAR)
+       END AS out_name
 FROM (
   SELECT doc_id, source, lang,
-         row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+         regexp_replace(substring(trim(text), 1, 12), '\\s', '-', 'g') AS name,
+         row_number() OVER (
+           PARTITION BY source, lang,
+                        regexp_replace(substring(trim(text), 1, 12), '\\s', '-', 'g')
+           ORDER BY doc_id) AS rn
   FROM documents
 )
 """
@@ -272,6 +308,74 @@ def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LANG_HISTOGRAM = """
 SELECT lang, count(*) AS n FROM documents
 GROUP BY lang ORDER BY n DESC, lang ASC LIMIT 10
+"""
+
+
+def q_path_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11's second half (debug_scanner.py:48-60): top-level-directory
+    histogram, top-10. The documents table's path analog is
+    source/lang/doc_id; the operator shape — split the path, group on the
+    first segment, top-k — is the reference's exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat_ws("/", "source", "lang", F.col("doc_id").cast("string"))
+    return (
+        docs.select(F.split(path, "/").getItem(0).alias("top_dir"))
+        .groupBy("top_dir")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("top_dir"))
+        .limit(10)
+    )
+
+
+SQL_PATH_HISTOGRAM = """
+SELECT split_part(source || '/' || lang || '/' || CAST(doc_id AS VARCHAR), '/', 1)
+         AS top_dir,
+       count(*) AS n
+FROM documents
+GROUP BY 1 ORDER BY n DESC, top_dir ASC LIMIT 10
+"""
+
+
+def q_scan_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11's heuristic warnings (debug_scanner.py:61-85): per-source share
+    of the corpus plus concentration / tiny-doc flags.
+
+    The total for the share is a 1-row aggregate broadcast-joined back —
+    never a global (empty-partitionBy) window, which would serialize the
+    whole table through one task at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("n_chars") < 60).cast("long")).alias("tiny_docs"),
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n",
+            "tiny_docs",
+            F.round(share, 4).alias("share"),
+            (share > 0.10).alias("warn_concentrated"),
+            (F.col("tiny_docs") > 0).alias("warn_tiny_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SCAN_WARNINGS = """
+WITH counts AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT) AS tiny_docs
+  FROM documents GROUP BY source
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT source, n, tiny_docs,
+       round(n * 1.0 / total, 4) AS share,
+       (n * 1.0 / total > 0.10) AS warn_concentrated,
+       (tiny_docs > 0) AS warn_tiny_docs
+FROM counts CROSS JOIN t
+ORDER BY source
 """
 
 
@@ -781,6 +885,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "survivor_selection": (q_survivor_selection, SQL_SURVIVOR_SELECTION),
         "conflict_suffix": (q_conflict_suffix, SQL_CONFLICT_SUFFIX),
         "lang_histogram": (q_lang_histogram, SQL_LANG_HISTOGRAM),
+        "path_histogram": (q_path_histogram, SQL_PATH_HISTOGRAM),
+        "scan_warnings": (q_scan_warnings, SQL_SCAN_WARNINGS),
         "error_frequency": (q_error_frequency, SQL_ERROR_FREQUENCY),
         "anti_join_selection": (q_anti_join_selection, SQL_ANTI_JOIN_SELECTION),
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

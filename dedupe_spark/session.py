@@ -14,6 +14,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+ICEBERG_CATALOG = "dedupe"
+
+
+def iceberg_conf(
+    catalog: str = ICEBERG_CATALOG, warehouse: str | None = None
+) -> dict[str, str]:
+    """Spark conf enabling a real Iceberg catalog (USE_ICEBERG=1 path).
+
+    The sandbox has no Iceberg jars, so this path cannot be exercised
+    here; on a real cluster add the iceberg-spark-runtime jar to
+    spark-submit and set USE_ICEBERG=1 — ``get_spark`` merges these confs
+    and ``sources.catalog.Catalog`` routes table IO through the session
+    catalog instead of parquet paths."""
+    wh = warehouse or os.environ.get("ICEBERG_WAREHOUSE", "/tmp/iceberg_warehouse")
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": wh,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+
+
+def use_iceberg() -> bool:
+    return os.environ.get("USE_ICEBERG", "") == "1"
+
+
 def get_spark(
     app_name: str = "dedupe_spark",
     master: str | None = None,
@@ -51,6 +79,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    if use_iceberg():
+        for k, v in iceberg_conf().items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

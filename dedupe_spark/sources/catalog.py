@@ -4,10 +4,12 @@ The production design (BASELINE.json north_star) writes every stage
 checkpoint to an Iceberg table; this sandbox has no Iceberg jars, so the
 same API is served by a path-per-table parquet warehouse plus a
 ``_snapshots`` JSON manifest that plays the role of Iceberg's snapshot
-metadata (commit bookkeeping for resume). All engine code is written
-against this class, so swapping in real Iceberg is a config change
-(``spark.sql.catalog.* = org.apache.iceberg...`` + ``USE_ICEBERG=1``),
-not a code change — SURVEY.md §7 "catalog layer".
+metadata (commit bookkeeping for resume). The real Iceberg path IS wired:
+``USE_ICEBERG=1`` makes ``session.get_spark`` register the catalog
+(``session.iceberg_conf``) and this class route every read/write/exists
+through the session catalog (``writeTo``/``spark.table``) instead of
+parquet paths — untestable in this jar-less sandbox, but a config switch,
+not a code change, on a real cluster (SURVEY.md §7 "catalog layer").
 
 Why a manifest and not just "directory exists": a crashed write can leave a
 partial directory. Spark's ``_SUCCESS`` marker plus our manifest entry
@@ -40,7 +42,19 @@ class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str) -> None:
         self.spark = spark
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        from dedupe_spark.session import use_iceberg
+
+        self.iceberg = use_iceberg()
+        if not self.iceberg:
+            os.makedirs(warehouse, exist_ok=True)
+
+    def qualified(self, table: str) -> str:
+        """Iceberg identifier for a stage table: `/` (run/stage separator)
+        and other non-identifier chars become `_`."""
+        from dedupe_spark.session import ICEBERG_CATALOG
+
+        safe = "".join(c if c.isalnum() else "_" for c in table)
+        return f"{ICEBERG_CATALOG}.db.{safe}"
 
     # -- manifest ----------------------------------------------------------
 
@@ -72,12 +86,23 @@ class Catalog:
         return os.path.join(self.warehouse, table)
 
     def exists(self, table: str) -> bool:
-        """True ⇔ the table was fully committed (manifest + data present)."""
+        """True ⇔ the table was fully committed (manifest + data present;
+        under Iceberg, table commits are atomic so tableExists suffices)."""
+        if self.iceberg:
+            return self.spark.catalog.tableExists(self.qualified(table))
         return table in self._manifest() and os.path.exists(self.path(table))
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> int:
         """Write + commit; returns rows written (the count reads back the
         committed parquet footer metadata — cheap, no recompute)."""
+        if self.iceberg:
+            ident = self.qualified(table)
+            w = df.writeTo(ident)
+            if mode == "overwrite" or not self.spark.catalog.tableExists(ident):
+                w.createOrReplace()
+            else:
+                w.append()
+            return self.read(table).count()
         df.write.mode(mode).parquet(self.path(table))
         rows = self.spark.read.parquet(self.path(table)).count()
         self._commit(Snapshot(table, rows, time.time(), mode))
@@ -87,9 +112,14 @@ class Catalog:
         return self.write(df, table, mode="append")
 
     def read(self, table: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.table(self.qualified(table))
         return self.spark.read.parquet(self.path(table))
 
     def drop(self, table: str) -> None:
+        if self.iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(table)}")
+            return
         m = self._manifest()
         if m.pop(table, None) is not None:
             tmp = self._manifest_path + ".tmp"

@@ -10,8 +10,13 @@ Cluster usage (the packaged path, BASELINE.json north_star):
 
 CLI surface mirrors the reference (/root/reference/dedupe.py:14-37):
 --threshold (Hamming 0-64, default 10), --agreement (1-3, default 2),
---sample N, --dry-run, --quiet, plus Spark-era options the reference lacks
-(--run-id/--resume checkpointing, --langs filter, --warehouse).
+--sample N, --dry-run, --quiet, plus the reference's second entry point
+`analyze` (dedupe.py:253-306: scan→hash→detect→report, organize nothing)
+as --analyze, partial-stage runs as --until STAGE, the --hash-size
+precision/recall dial (dedupe.py:21-22) as the fingerprint-granularity
+knobs --shingle-k/--num-perm/--bands/--rows, and Spark-era options the
+reference lacks (--run-id/--resume checkpointing, --langs filter,
+--warehouse).
 
 Exit behavior mirrors the reference too: empty input exits 0 with a message
 (dedupe.py:122-124); per-row errors never fail the run (error-channel rows
@@ -52,6 +57,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="recompute every stage even if checkpoints exist")
     p.add_argument("--dry-run", action="store_true",
                    help="run + report, write no output table")
+    p.add_argument("--analyze", action="store_true",
+                   help="report duplicates only, organize/write nothing "
+                        "(the reference's `analyze` entry point)")
+    p.add_argument("--until", default="assignment",
+                   choices=["fingerprints", "exact", "buckets", "edges",
+                            "labels", "assignment"],
+                   help="stop after this stage (checkpoints committed up to "
+                        "and including it; later runs resume from there)")
+    # fingerprint granularity — the reference's --hash-size {8,16}
+    # precision/recall dial (dedupe.py:21-22, validated dedupe.py:86-88)
+    p.add_argument("--shingle-k", type=int, default=3,
+                   help="token-shingle width (higher = stricter match)")
+    p.add_argument("--num-perm", type=int, default=128,
+                   help="MinHash permutations (must equal bands*rows)")
+    p.add_argument("--bands", type=int, default=32,
+                   help="LSH bands b; s-curve threshold ~ (1/b)^(1/r)")
+    p.add_argument("--rows", type=int, default=4, help="LSH rows per band r")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -71,11 +93,15 @@ def main(argv: list[str] | None = None) -> int:
         hamming_threshold=args.threshold,
         require_agreement=args.agreement,
         jaccard_threshold=args.jaccard,
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        lsh_bands=args.bands,
+        lsh_rows=args.rows,
         sample=args.sample,
         run_id=args.run_id,
         warehouse=args.warehouse,
         langs=args.langs.split(",") if args.langs else [],
-        dry_run=args.dry_run,
+        dry_run=args.dry_run or args.analyze,
     )
     spark = get_spark(app_name=f"dedupe_spark[{args.run_id}]", master=args.master)
     if args.quiet:
@@ -92,10 +118,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     pipe = StagedPipeline(spark, cfg)
-    ran = pipe.run(files, resume=not args.no_resume)
+    ran = pipe.run(files, resume=not args.no_resume, until=args.until)
+
+    if args.until != "assignment":
+        # partial-stage run: no assignment table yet — report per-stage
+        # rows from the metrics table and stop (resume picks up from here)
+        rows = {
+            r["stage"]: int(r["value"])
+            for r in pipe.metrics().filter(F.col("metric") == "rows").collect()
+        }
+        print(json.dumps({
+            "run_id": args.run_id,
+            "stages_ran": ran,
+            "until": args.until,
+            "stage_rows": rows,
+            "dry_run": cfg.dry_run,
+        }))
+        return 0
+
     result = pipe.result()
 
-    if args.output and not args.dry_run:
+    if args.output and not (args.dry_run or args.analyze):
         survivors(result).write.mode("overwrite").parquet(args.output)
 
     # run report (duplicate_detector.py:191-217 / file_organizer.py:270-293)
@@ -120,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
         "largest_group": stats["largest"],
         "space_saved_bytes": stats["space_saved"],
         "error_rows": errors,
-        "dry_run": args.dry_run,
+        "dry_run": cfg.dry_run,
+        "analyze": args.analyze,
     }
     print(json.dumps(report))
     return 0

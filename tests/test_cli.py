@@ -1,0 +1,73 @@
+"""CLI smoke tests: analyze mode, partial-stage runs (--until), resume
+continuation, and the fingerprint-granularity knobs.
+
+Mirrors the reference's two entry points: `dedupe` (full organize run,
+dedupe.py:100-250) and `analyze` (report-only, dedupe.py:253-306)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from jobs.run_pipeline import main
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("docs") / "documents.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60).write.parquet(p)
+    return p
+
+
+def _last_json(capsys) -> dict:
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_analyze_until_labels_reports_without_output(docs_parquet, capsys, tmp_path):
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli1", "--until", "labels", "--analyze", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    assert rep["until"] == "labels"
+    assert rep["dry_run"] is True
+    assert set(rep["stage_rows"]) == {
+        "fingerprints", "exact", "buckets", "edges", "labels"
+    }
+    # no assignment table yet — partial run stops where told
+    assert not os.path.exists(os.path.join(wh, "cli1", "assignment"))
+
+
+def test_resume_continues_from_partial_run(docs_parquet, capsys, tmp_path):
+    wh = str(tmp_path / "wh")
+    main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli2", "--until", "edges", "--analyze", "--quiet",
+    ])
+    capsys.readouterr()
+    rc = main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli2", "--analyze", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    # stages up to `edges` were checkpointed by the first run → skipped
+    for s in ["fingerprints", "exact", "buckets", "edges"]:
+        assert rep["stages_ran"][s] is False, s
+    for s in ["labels", "assignment"]:
+        assert rep["stages_ran"][s] is True, s
+    assert rep["analyze"] is True and rep["total_files"] == 60
+
+
+def test_fingerprint_knobs_validated(docs_parquet, tmp_path):
+    with pytest.raises(ValueError, match="bands"):
+        main([
+            "--input", docs_parquet, "--documents",
+            "--warehouse", str(tmp_path / "wh"),
+            "--bands", "7", "--rows", "4", "--quiet",
+        ])

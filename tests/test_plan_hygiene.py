@@ -62,3 +62,23 @@ def test_scoring_hamming_is_codegen(spark):
     # Arrow-batched jaccard UDF (never row-at-a-time BatchEvalPython)
     assert "bit_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_representative_uses_partial_agg_not_window(spark):
+    """q_representative must be a groupBy struct-min (map-side partial
+    aggregation), never a row_number window over ~5 lang partitions —
+    a low-cardinality window serializes 1/|langs| of the table per task."""
+    plan = _plan(registry()["representative"][0](spark, SF))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_conflict_suffix_window_key_is_high_cardinality(spark):
+    """The conflict window must partition by the name slug too, not just
+    (source, lang) — the reference's conflict key is per-filename."""
+    plan = _plan(registry()["conflict_suffix"][0](spark, SF))
+    assert "Window" in plan
+    head = plan.split("Window")[1][:400]
+    # the name-slug expression (regexp_replace over the text prefix) must be
+    # part of the windowspec partition key, not just the projection
+    assert "regexp_replace" in head, head

@@ -85,3 +85,32 @@ def test_dup_pairs_triangular_and_thresholded(vectors):
         label[r["id1"]] == label[r["id2"]] and label[r["id1"]] >= 0 for r in rows
     )
     assert len(rows) >= 200  # near-complete intra-cluster coverage (max 225)
+
+
+def test_dup_pairs_lsh_tier_matches_exact(vectors):
+    """Forcing the corpus over the broadcast guard routes to the LSH tier;
+    on tight clusters (cos ≥ 0.998) its recall vs the exact tier is ~1."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in embedding_dup_pairs(vectors, threshold=0.998).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in embedding_dup_pairs(
+            vectors, threshold=0.998, max_broadcast_rows=1
+        ).collect()
+    }
+    assert lsh <= exact  # rerank is exact → no false positives
+    assert len(lsh & exact) / len(exact) >= 0.95, (len(lsh), len(exact))
+
+
+def test_no_unbounded_collect_in_similarity_module():
+    """The only .collect() in the engine must sit behind the broadcast
+    guard (grep-level regression for the driver-OOM scale hazard)."""
+    import inspect
+
+    import dedupe_spark.operators.similarity as sim
+
+    src = inspect.getsource(sim)
+    before_guard, _, after_guard = src.partition("max_broadcast_rows:")
+    assert ".collect()" not in before_guard

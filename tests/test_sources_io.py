@@ -84,3 +84,34 @@ def test_catalog_commit_semantics(spark, tmp_path):
     assert not cat.exists("t2")
     cat.drop("t1")
     assert not cat.exists("t1") and cat.rows("t1") is None
+
+
+def test_iceberg_switch_off_by_default(spark, tmp_path, monkeypatch):
+    """Without USE_ICEBERG=1 the catalog is the tested parquet branch."""
+    from dedupe_spark.sources.catalog import Catalog
+
+    monkeypatch.delenv("USE_ICEBERG", raising=False)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    assert cat.iceberg is False
+    df = spark.range(3).toDF("x")
+    assert cat.write(df, "r1/t") == 3
+    assert cat.exists("r1/t") and cat.read("r1/t").count() == 3
+
+
+def test_iceberg_conf_and_identifier_shape(monkeypatch):
+    """The USE_ICEBERG=1 path: conf keys + identifier sanitization (the
+    jar-less sandbox can't run Iceberg itself — structural checks only)."""
+    from dedupe_spark.session import ICEBERG_CATALOG, iceberg_conf, use_iceberg
+
+    conf = iceberg_conf(warehouse="/w")
+    assert conf[f"spark.sql.catalog.{ICEBERG_CATALOG}"].endswith("SparkCatalog")
+    assert conf[f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse"] == "/w"
+    monkeypatch.setenv("USE_ICEBERG", "1")
+    assert use_iceberg() is True
+
+    from dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog.__new__(Catalog)  # skip __init__: no session needed
+    assert cat.qualified("run0/fingerprints") == (
+        f"{ICEBERG_CATALOG}.db.run0_fingerprints"
+    )
