@@ -17,11 +17,15 @@ whole chain every iteration).
 
 Vertex-id compaction: callers pass string ids (sha256-hex file_ids ≈ 64
 bytes); shuffling those every iteration costs ~8× the bytes of a long. So
-non-integral ids are mapped to unique longs (``monotonically_increasing_id``
-over the checkpointed distinct-vertex frame — unique by construction, no
-collision risk unlike hashing at 10^12 ids) before the loop, and the final
-label is re-resolved to the MINIMUM ORIGINAL id of each component, so the
-output is byte-identical to running the loop on strings.
+non-integral ids are mapped to longs via ``xxhash64`` — a pure projection,
+zero extra shuffles on the forward path — before the loop, and the final
+label is re-resolved to the MINIMUM ORIGINAL id of each component
+(component-scale shuffles only), so the output matches running the loop
+on strings. Collision caveat: two vertices hashing to the same long would
+merge their components; expected colliding pairs ≈ C(n,2)/2^64 (~3·10⁴
+at n = 10^12 — noise against the F1 ≥ 0.99 gate, and only vertices that
+appear in candidate edges are exposed at all). Exactness-critical callers
+can pass ``compact=False``.
 
 Determinism: the component label is the minimum file_id of the component —
 stable across runs, partitionings, and resume.
@@ -94,38 +98,33 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 50,
+    compact: bool | None = None,
 ) -> DataFrame:
     """Return (file_id, component) for every vertex that appears in edges.
 
     Vertices not present in ``edges`` are simply absent — callers treat
     missing rows as singletons (cluster_id null), matching the reference's
     "groups require >=2 members" rule (duplicate_detector.py:88-89).
+
+    ``compact=None`` (default) hashes string ids to longs for the loop
+    (module docstring); integral ids always pass through unchanged.
     """
-    e = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    compact = not isinstance(e.schema["src"].dataType, _INTEGRAL)
+    e_str = edges.select(
+        F.col(id1).alias("src"), F.col(id2).alias("dst")
+    ).localCheckpoint(eager=True)
+    # ^ materialize the edge set ONCE: the symmetric union below reads it
+    # twice, which would otherwise recompute the caller's whole scoring
+    # chain twice (narrow checkpoint — no shuffle).
+    if compact is None:
+        compact = not isinstance(e_str.schema["src"].dataType, _INTEGRAL)
 
     if compact:
-        # string ids → unique longs for the loop; ~8x smaller per-iteration
-        # shuffles than sha256-hex ids. Checkpoint freezes the (otherwise
-        # non-deterministic) monotonically_increasing_id assignment.
-        verts = (
-            e.select(F.col("src").alias("orig_id"))
-            .union(e.select(F.col("dst").alias("orig_id")))
-            .distinct()
-            .withColumn("vid_long", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
+        # xxhash64 is a projection — the forward mapping costs no shuffle
+        e = e_str.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
         )
-        m_src = verts.select(
-            F.col("orig_id").alias("src"), F.col("vid_long").alias("src_l")
-        )
-        m_dst = verts.select(
-            F.col("orig_id").alias("dst"), F.col("vid_long").alias("dst_l")
-        )
-        e = (
-            e.join(m_src.hint("shuffle_hash"), "src")
-            .join(m_dst.hint("shuffle_hash"), "dst")
-            .select(F.col("src_l").alias("src"), F.col("dst_l").alias("dst"))
-        )
+    else:
+        e = e_str
 
     # symmetric closure once; propagation then only needs one direction
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -137,11 +136,18 @@ def connected_components(
         return labels.select(F.col("vid").alias("file_id"), "component")
 
     # map back and re-resolve the deterministic label: component =
-    # min(original id) of the component (min-long ≠ min-string in general).
-    # Both shuffles are component-scale, not edge-scale.
-    with_orig = labels.join(
-        verts.withColumnRenamed("vid_long", "vid").hint("shuffle_hash"), "vid"
-    ).select(F.col("orig_id").alias("file_id"), F.col("component").alias("comp_l"))
+    # min(original id) of the component (min-hash-long ≠ min-string in
+    # general). verts derives from the checkpointed e_str (cheap rescan);
+    # the groupBy/joins are component-scale, not edge-scale.
+    verts = (
+        e_str.select(F.col("src").alias("orig_id"))
+        .union(e_str.select(F.col("dst").alias("orig_id")))
+        .distinct()
+        .select("orig_id", F.xxhash64("orig_id").alias("vid"))
+    )
+    with_orig = labels.join(verts.hint("shuffle_hash"), "vid").select(
+        F.col("orig_id").alias("file_id"), F.col("component").alias("comp_l")
+    )
     rep = with_orig.groupBy("comp_l").agg(F.min("file_id").alias("component"))
     return with_orig.join(rep.hint("shuffle_hash"), "comp_l").select(
         "file_id", "component"

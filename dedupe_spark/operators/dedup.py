@@ -320,9 +320,12 @@ def ngram_jaccard_dedupe(
     *,
     k: int = 2,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dedup: τ-pairs → connected components."""
-    edges = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    edges = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
+    )
     comp = connected_components(edges)
     ids = df.select(F.col(id_col).alias("id"))
     return ids.join(

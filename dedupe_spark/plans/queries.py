@@ -663,6 +663,60 @@ WHERE ni * 1.0 / (s1.n + s2.n - ni) >= 0.5
 """
 
 
+def q_ngram_jaccard_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ-pairs → connected components, value-checked end to end: the CC
+    step is expressible in ANSI SQL as a recursive reachability CTE, so
+    this query gives the driver a full hash-match on the clustering
+    operator (the LSH/simhash dedups can only be rows-only checked because
+    their fingerprints are pandas-UDF-side)."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_dedupe(docs, "doc_id", "text", k=2, threshold=0.5, max_df=200)
+        .orderBy("id")
+    )
+
+
+SQL_NGRAM_JACCARD_DEDUPE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents
+), grams_all AS (
+  SELECT DISTINCT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+), grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams_all
+  ) WHERE df <= 200
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+  WHERE ni * 1.0 / (s1.n + s2.n - ni) >= 0.5
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id AS id, comp.cluster_id
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for query vectors (vec_id < 5)."""
     from dedupe_spark.operators.similarity import cosine_topk
@@ -896,6 +950,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+        "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
         "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),

@@ -42,10 +42,16 @@ def _norm(v):
     return v
 
 
+def _row_key(row):
+    # null-safe total order (None < everything, then by repr) — mirrors the
+    # driver's pandas canonicalizer, which sorts NaN-bearing columns fine
+    return tuple((x is None, str(x)) for x in row)
+
+
 def _spark_rows(df):
     cols = sorted(df.columns)
     return cols, sorted(
-        tuple(_norm(r[c]) for c in cols) for r in df.collect()
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=_row_key
     )
 
 
@@ -55,7 +61,7 @@ def _duck_rows(con, sql):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = res.fetchall()
     return sorted(cols), sorted(
-        tuple(_norm(row[i]) for i in order) for row in rows
+        (tuple(_norm(row[i]) for i in order) for row in rows), key=_row_key
     )
 
 
