@@ -358,3 +358,17 @@ def minhash_lsh_dedupe(
     return out.select(
         F.col("path").cast("string").alias("id"), "cluster_id", "is_representative"
     )
+
+
+if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
+    import sys
+
+    from dedupe_spark.session import get_spark
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
+    spark = get_spark(app_name="dedup_smoke", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(path)
+    out = exact_dedupe(docs, "doc_id", "text")
+    n_dups = out.filter("cluster_size >= 2").count()
+    print(f"{out.count()} rows, {n_dups} in exact-duplicate groups")

@@ -161,3 +161,14 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
+    from dedupe_spark.session import get_spark
+
+    spark = get_spark(app_name="multimodal_smoke", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    media = with_media_metadata(synthesize_media(spark, n=32))
+    feats = extract_features(media, decode_fn=fake_decode)
+    media.groupBy("sniffed_format").count().orderBy("sniffed_format").show()
+    print("error rows:", feats.filter("error is not null").count())

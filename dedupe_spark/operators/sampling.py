@@ -1,0 +1,73 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+The reference's only sampling is a row-limit debug sample
+(/root/reference/dedupe.py:33-34 → ``PipelineConfig.sample``). A
+training-data engine needs content-stable sampling: the same document
+lands in the same split/sample on every run, on every cluster size, and
+after re-partitioning — so splits are keyed on a content hash of the id,
+never on row position or RNG state.
+
+Both operators are pure projections + filters (no shuffle for the
+assignment itself; zero UDFs) and their DuckDB oracles are verbatim
+equivalents because the md5 hex digest is engine-independent — unlike
+``xxhash64`` or per-engine ``hash()`` functions, which differ across
+engines and would make the split irreproducible outside Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_key(id_col: str) -> Column:
+    """First 4 hex chars of md5(id) — a uniform draw over [0, 65536)."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Assign a deterministic train/val/test split by md5-prefix range.
+
+    Fractions are approximate to 1/65536 (the 4-hex-char resolution); the
+    assignment is a pure projection — no shuffle, no RNG, stable across
+    runs and engines.
+    """
+    if not (0 < train < 1 and 0 <= val < 1 and train + val < 1):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    key = _hash_key(id_col)
+    t_hi = format(int(train * 65536), "04x")
+    v_hi = format(int((train + val) * 65536), "04x")
+    return df.withColumn(
+        "split",
+        F.when(key < t_hi, "train").when(key < v_hi, "val").otherwise("test"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, *, rate: float = 0.1
+) -> DataFrame:
+    """Content-stable Bernoulli(rate) sample: keep rows whose md5-prefix
+    falls under the rate cutoff. Unlike ``df.sample()`` this is stable
+    across runs, partitionings, and cluster sizes."""
+    if not (0 < rate <= 1):
+        raise ValueError("rate must be in (0, 1]")
+    cutoff = format(int(rate * 65536), "04x")
+    return df.filter(_hash_key(id_col) < cutoff)
+
+
+if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
+    import sys
+
+    from dedupe_spark.session import get_spark
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
+    spark = get_spark(app_name="sampling_smoke", master="local[2]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(path)
+    with_split(docs, "doc_id").groupBy("split").count().orderBy("split").show()

@@ -306,3 +306,16 @@ def embedding_dedupe(
         "id",
         "left",
     )
+
+
+if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
+    import sys
+
+    from dedupe_spark.session import get_spark
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/embeddings.parquet"
+    spark = get_spark(app_name="similarity_smoke", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(path)
+    topk = cosine_topk(emb.limit(3), emb, k=5)
+    topk.show()

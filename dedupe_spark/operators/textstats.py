@@ -150,3 +150,17 @@ def shingle_fingerprints(
         F.min(F.md5(F.col("gram"))).alias("fingerprint"),
         F.count_distinct("gram").alias("n_distinct_shingles"),
     )
+
+
+if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
+    import sys
+
+    from dedupe_spark.session import get_spark
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
+    spark = get_spark(app_name="textstats_smoke", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(path)
+    with_language_id(with_quality_score(docs)).groupBy("pred_lang").count().orderBy(
+        "pred_lang"
+    ).show()

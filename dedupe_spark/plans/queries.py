@@ -591,6 +591,50 @@ FROM s
 """
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (content-stable, md5-prefix
+    ranges) — per-(lang, split) counts. The assignment is a pure
+    projection: no RNG, no shuffle, identical on any engine/cluster."""
+    from dedupe_spark.operators.sampling import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+SQL_TRAIN_SPLIT = """
+SELECT lang, split, count(*) AS n FROM (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable 10% Bernoulli sample (md5-prefix cutoff) — the
+    reproducible alternative to df.sample() for training-data pipelines."""
+    from dedupe_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", rate=0.1).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint per document (training-data
     op; min-of-md5 over token 3-grams)."""
@@ -949,6 +993,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+        "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+        "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),

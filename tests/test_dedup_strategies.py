@@ -120,3 +120,28 @@ def test_cc_converges_without_spinning(spark):
     took = time.perf_counter() - t0
     # 2 propagation iterations; 50 eager checkpoints would take far longer
     assert took < 30, f"CC took {took:.1f}s — convergence check not firing?"
+
+
+def test_deterministic_split_and_sample(spark):
+    """Content-stable split: fractions ~right, stable across calls and
+    partitionings, val/test disjoint from train; sample ⊂ corpus."""
+    from dedupe_spark.operators.sampling import deterministic_sample, with_split
+
+    docs = spark.range(0, 2000).toDF("doc_id")
+    a = with_split(docs, "doc_id").groupBy("split").count().collect()
+    b = with_split(docs.repartition(7), "doc_id").groupBy("split").count().collect()
+    fa = {r["split"]: r["count"] for r in a}
+    assert fa == {r["split"]: r["count"] for r in b}  # partition-invariant
+    assert abs(fa["train"] / 2000 - 0.8) < 0.05
+    assert abs(fa.get("val", 0) / 2000 - 0.1) < 0.03
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", rate=0.1).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", rate=0.2).collect()}
+    assert s1 <= s2  # rate-monotone (nested samples)
+    assert abs(len(s1) / 2000 - 0.1) < 0.03
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_split(docs, "doc_id", train=0.95, val=0.1)
+    with _pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", rate=0.0)
