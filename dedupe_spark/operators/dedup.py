@@ -147,34 +147,59 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """(id, simhash) → all pairs (id1 < id2) within Hamming ≤ threshold.
 
-    Pigeonhole-complete banded blocking: the 64-bit fingerprint is split
-    into ``threshold + 1`` near-equal chunks (a pair at distance d differs
-    in at most d chunks, so with ≥ d+1 chunks one chunk matches exactly) —
-    candidates come from ``threshold + 1`` hash equi-self-joins, never a
-    cross join, and recall is guaranteed, not probabilistic. Residual
-    predicate is the exact XOR popcount (hash_generator.py:116-140's loop,
-    as JVM ``bit_count``).
+    Pigeonhole-complete banded blocking, block-COMBINATION keyed (the
+    design of Manku et al.'s web-scale simhash dedup, WWW'07): split the
+    64-bit fingerprint into ``b = threshold + 2`` near-equal blocks. A
+    pair at distance d ≤ threshold differs in at most d blocks, so at
+    least 2 blocks match exactly — and every 2-subset of blocks is a join
+    table, so some table key matches: recall is guaranteed, never
+    probabilistic. Keying on block PAIRS (C(b,2) tables, ~2·64/b-bit
+    keys) instead of single blocks (b tables, 64/b-bit keys) is what makes
+    this scale: with single 8-bit blocks a bucket holds n/256 rows —
+    quadratic blowup at warehouse n — while 16-bit pair keys bound buckets
+    at n/65536. Residual predicate is the exact XOR popcount
+    (hash_generator.py:116-140's loop, as JVM ``bit_count``).
     """
-    # ≥2 chunks keeps every chunk width ≤ 32 bits (mask fits a long)
-    n_chunks = max(2, min(hamming_threshold + 1, 64))
-    bounds = [64 * i // n_chunks for i in range(n_chunks + 1)]
-    chunks = fingerprints.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), bounds[i]).bitwiseAND(
-                        F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
-                    )
-                    for i in range(n_chunks)
-                ]
+    n_blocks = max(2, min(hamming_threshold + 2, 64))
+    bounds = [64 * i // n_blocks for i in range(n_blocks)] + [64]
+    block = [
+        F.shiftrightunsigned(F.col("simhash"), bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+        for i in range(n_blocks)
+    ]
+    # every 2-combination of blocks → one table; key = (b_i << 32) | b_j
+    # (block widths ≤ 32 bits, so the packed key fits a long losslessly).
+    # Large thresholds would need C(t+2, 2) tables — beyond 128 tables the
+    # explode volume outweighs the bucket shrinkage, so fall back to
+    # single-block keying (t+1 tables; guarantee needs only 1 clean block).
+    import itertools
+
+    combos = list(itertools.combinations(range(n_blocks), 2))
+    if len(combos) > 128:
+        n_blocks = max(2, min(hamming_threshold + 1, 64))
+        bounds = [64 * i // n_blocks for i in range(n_blocks)] + [64]
+        block = [
+            F.shiftrightunsigned(F.col("simhash"), bounds[i]).bitwiseAND(
+                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
             )
-        ).alias("chunk_id", "chunk"),
+            for i in range(n_blocks)
+        ]
+        combos = [(i,) for i in range(n_blocks)]
+    keys = F.array(
+        *[
+            F.shiftleft(block[c[0]], 32).bitwiseOR(block[c[1]])
+            if len(c) == 2
+            else block[c[0]]
+            for c in combos
+        ]
+    )
+    chunks = fingerprints.select(
+        "id", "simhash", F.posexplode(keys).alias("tbl", "key")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
-        a.join(b, ["chunk_id", "chunk"])
+        a.join(b, ["tbl", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id1"),

@@ -243,8 +243,14 @@ def embedding_dup_pairs(
     """
     from collections.abc import Iterator
 
-    if df.count() > max_broadcast_rows:
+    n = df.count()
+    if n > max_broadcast_rows:
         return _lsh_dup_pairs(df, id_col, vec_col, threshold)
+    if n == 0:
+        id_t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id1 {id_t}, id2 {id_t}, cos double"
+        )
 
     rows = df.select(F.col(id_col), F.col(vec_col)).collect()
     ids = np.array([r[0] for r in rows])

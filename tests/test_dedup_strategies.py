@@ -145,3 +145,23 @@ def test_deterministic_split_and_sample(spark):
         with_split(docs, "doc_id", train=0.95, val=0.1)
     with _pytest.raises(ValueError):
         deterministic_sample(docs, "doc_id", rate=0.0)
+
+
+def test_simhash_pairs_large_threshold_fallback(spark):
+    """t ≥ 15 routes to single-block keying; recall must still be exact."""
+    import itertools
+
+    sims = {
+        "a": 0x0123456789ABCDEF,
+        "b": 0x0123456789ABCDEF ^ ((1 << 63) - (1 << 46)) & 0xFFFF000000000000,
+        "c": 0x0123456789ABCDEF ^ 0xFFFF,  # d=16, low block
+        "d": 0,
+    }
+    mask = (1 << 64) - 1
+    t = 16
+    brute = {
+        tuple(sorted((i, j)))
+        for i, j in itertools.combinations(sims, 2)
+        if bin((sims[i] ^ sims[j]) & mask).count("1") <= t
+    }
+    assert _pairs(spark, sims, threshold=t) == brute

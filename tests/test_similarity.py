@@ -114,3 +114,8 @@ def test_no_unbounded_collect_in_similarity_module():
     src = inspect.getsource(sim)
     before_guard, _, after_guard = src.partition("max_broadcast_rows:")
     assert ".collect()" not in before_guard
+
+
+def test_dup_pairs_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_dup_pairs(empty).count() == 0
