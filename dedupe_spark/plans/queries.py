@@ -591,6 +591,76 @@ FROM s
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by document frequency, top-50 — the op behind
+    stopword-list induction and vocab pruning in training-data pipelines.
+    Shape: explode → distinct → groupBy (all partial-agg friendly)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).distinct()
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS df FROM toks
+GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 50
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health metric: per-source share of documents that are
+    non-representative exact duplicates (wordset tier) — what a data-
+    curation dashboard reads after each dedup run."""
+    clusters = _wordset_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    joined = clusters.join(docs, "id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("id") != F.col("cluster_id")).cast("long")).alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.round(F.col("n_dups") / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+WITH keyed AS ({{keyed}}),
+g AS (
+  SELECT wkey, min(id) AS cluster_id FROM keyed GROUP BY wkey
+),
+joined AS (
+  SELECT k.id, g.cluster_id, d.source
+  FROM keyed k JOIN g USING (wkey) JOIN documents d ON d.doc_id = k.id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       round(sum(CASE WHEN id <> cluster_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_rate
+FROM joined GROUP BY source ORDER BY source
+""".format(keyed=_SQL_WORDSET_KEYED)
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (content-stable, md5-prefix
     ranges) — per-(lang, split) counts. The assignment is a pure
@@ -994,6 +1064,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+        "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+        "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
         "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),

@@ -150,3 +150,35 @@ def test_stateful_running_totals(spark, events_dir):
     for uid, (n, t) in batch.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 1e-6
+
+
+def test_split_operator_is_streaming_compatible(spark, tmp_path):
+    """with_split is a stateless projection — identical assignments on a
+    stream and on the same data as a batch (training-data splits must not
+    depend on execution mode)."""
+    from dedupe_spark.operators.sampling import with_split
+
+    src = str(tmp_path / "docs")
+    docs = spark.range(0, 200).toDF("doc_id")
+    docs.write.parquet(src)
+
+    batch = {
+        (r["doc_id"], r["split"])
+        for r in with_split(docs, "doc_id").collect()
+    }
+    stream = spark.readStream.schema("doc_id long").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        with_split(stream, "doc_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch
