@@ -61,7 +61,9 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         "file_id", "content_sha", "simhash", "minhash_sig", "band_keys", "error"
     )
 
-    eg = exact_groups(fp_slim)  # (file_id, content_sha, exact_rep, exact_group_size)
+    # (file_id, content_sha, exact_rep, exact_group_size) — read twice
+    # (LSH rep filter + final assignment): cache so the sha groupBy runs once
+    eg = exact_groups(fp_slim).cache()
 
     # near-dup tier over distinct contents only (exact reps = super-nodes)
     reps = fp_slim.join(

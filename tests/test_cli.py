@@ -71,3 +71,22 @@ def test_fingerprint_knobs_validated(docs_parquet, tmp_path):
             "--warehouse", str(tmp_path / "wh"),
             "--bands", "7", "--rows", "4", "--quiet",
         ])
+
+
+def test_output_writes_survivors(docs_parquet, capsys, tmp_path):
+    """Full run with --output writes the survivors table (representatives
+    + singletons) — the reference's organize step as a table write."""
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "out")
+    rc = main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli3", "--output", out, "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    surv = spark.read.parquet(out)
+    assert surv.count() == rep["total_files"] - (
+        rep["files_in_groups"] - rep["duplicate_groups"]
+    )
