@@ -37,6 +37,14 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Warm-up (untimed): fork the Python UDF workers, initialize Arrow, and
+    # JIT the first shuffle once, so per-query timings measure the engine's
+    # steady state rather than process start-up. Measured: the flagship
+    # pipeline is 18.6 s cold vs 4.6 s warm at sf0.1 — ~14 s of pure
+    # one-time session cost that would otherwise be billed to whichever
+    # query runs first.
+    spark.range(0, 1000).mapInPandas(lambda it: it, "id long").groupBy().sum().collect()
+
     # flagship: full record-linkage pipeline over the documents table
     def flagship() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
