@@ -182,3 +182,45 @@ def test_split_operator_is_streaming_compatible(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == batch
+
+
+def test_incremental_ingest_feeds_staged_pipeline(spark, corpus, tmp_path):
+    """Stream-ingest fingerprints in two arrivals, then run the staged
+    pipeline from the checkpoint (files=None): clusters must equal the
+    all-batch run — incremental ingest is semantically invisible."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.fixtures import files_dataframe
+    from dedupe_spark.plans.staged import StagedPipeline
+    from dedupe_spark.streaming.ingest import ingest_files_stream
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "files")
+    cfg = PipelineConfig(run_id="stream1", warehouse=wh)
+
+    all_files = files_dataframe(spark, corpus).cache()
+    half1 = all_files.filter(F.crc32(F.col("path")) % 2 == 0)
+    half2 = all_files.filter(F.crc32(F.col("path")) % 2 == 1)
+
+    half1.write.mode("append").parquet(src)
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(180)
+    half2.write.mode("append").parquet(src)
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(180)
+
+    pipe = StagedPipeline(spark, cfg)
+    ran = pipe.run(files=None, resume=True)
+    assert ran["fingerprints"] is False  # stream-ingested, not recomputed
+    stream_clusters = {
+        r["file_id"]: r["cluster_id"]
+        for r in pipe.result().select("file_id", "cluster_id").collect()
+    }
+
+    cfg2 = PipelineConfig(run_id="batch1", warehouse=wh)
+    pipe2 = StagedPipeline(spark, cfg2)
+    pipe2.run(all_files)
+    batch_clusters = {
+        r["file_id"]: r["cluster_id"]
+        for r in pipe2.result().select("file_id", "cluster_id").collect()
+    }
+    assert stream_clusters == batch_clusters
