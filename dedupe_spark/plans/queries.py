@@ -105,6 +105,47 @@ FROM keyed k JOIN g USING (wkey)
 """
 
 
+def q_row_dedupe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup at the engine's largest test table: lineitem
+    (~100× the documents row count — 600k rows at sf0.1). "Content" is the
+    sha of the (suppkey, returnflag, linestatus) attribute tuple —
+    int/string columns only, so the hash input is byte-identical across
+    engines. Aggregated output keeps the compare cheap while the
+    sha-groupBy itself runs at full table width (map-side partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    content = F.concat_ws(
+        "|",
+        F.col("l_suppkey").cast("string"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    g = li.select(F.sha2(content, 256).alias("sha")).groupBy("sha").agg(
+        F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("distinct_contents"),
+        F.coalesce(F.sum(F.when(F.col("n") >= 2, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("rows_in_dup_groups"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("largest_group"),
+    )
+
+
+SQL_ROW_DEDUPE_STATS = """
+WITH g AS (
+  SELECT sha256(CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag || '|' ||
+                l_linestatus) AS sha,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS distinct_contents,
+       CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+         AS rows_in_dup_groups,
+       CAST(coalesce(max(n), 0) AS BIGINT) AS largest_group
+FROM g
+"""
+
+
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (duplicate_detector.py:155-189): totals over duplicate groups."""
     clusters = _wordset_clusters(spark, sf_dir)
@@ -1046,6 +1087,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     return {
         "exact_dedupe": (q_exact_dedupe, SQL_EXACT_DEDUPE),
         "wordset_dedupe": (q_wordset_dedupe, SQL_WORDSET_DEDUPE),
+        "row_dedupe_stats": (q_row_dedupe_stats, SQL_ROW_DEDUPE_STATS),
         "group_stats": (q_group_stats, SQL_GROUP_STATS),
         "space_saved": (q_space_saved, SQL_SPACE_SAVED),
         "top_groups": (q_top_groups, SQL_TOP_GROUPS),

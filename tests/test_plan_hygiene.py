@@ -82,3 +82,27 @@ def test_conflict_suffix_window_key_is_high_cardinality(spark):
     # the name-slug expression (regexp_replace over the text prefix) must be
     # part of the windowspec partition key, not just the projection
     assert "regexp_replace" in head, head
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    """top-k must be TakeOrderedAndProject (per-partition heaps merged at
+    the driver), never a global sort of the full vocabulary."""
+    plan = _plan(registry()["vocab_topk"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_row_dedupe_prunes_to_needed_columns(spark):
+    """The 11-column lineitem scan must read only the 3 columns the dedup
+    hashes — column pruning is the difference between scanning 100 TB and
+    scanning a 3-column projection of it."""
+    plan = _plan(registry()["row_dedupe_stats"][0](spark, SF))
+    read = plan.split("ReadSchema")[1][:250]
+    assert "l_suppkey" in read and "l_extendedprice" not in read
+
+
+def test_scan_warnings_total_is_broadcast_not_window(spark):
+    """The corpus total must reach rows via a broadcast join of a 1-row
+    aggregate — an empty-partitionBy window would serialize the table."""
+    plan = _plan(registry()["scan_warnings"][0](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
