@@ -11,6 +11,9 @@ are first-class here:
                                exactly within buckets. The scale path: the
                                cross join never materializes, the join is a
                                hash equi-join on the bucket key.
+  * ``ivf_topk``             — inverted-file ANN: k-means coarse quantizer
+                               trained on a bounded deterministic sample,
+                               cell-id equi-join + exact rerank.
   * ``embedding_dup_pairs``  — cosine ≥ τ pairs (id1 < id2).
   * ``embedding_dedupe``     — those pairs fed to connected components →
                                near-duplicate clusters.
@@ -325,3 +328,91 @@ if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     emb = spark.read.parquet(path)
     topk = cosine_topk(emb.limit(3), emb, k=5)
     topk.show()
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample_rows: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside ``ann_lsh_topk``.
+
+    1. **Train**: k-means centroids on a BOUNDED deterministic sample of
+       the corpus (md5-prefix sampling keeps the training set stable across
+       runs/cluster sizes; the driver never sees more than
+       ``train_sample_rows`` rows — this is the standard IVF recipe, the
+       index is trained on a sample, never the full corpus).
+    2. **Assign**: every corpus row → nearest centroid, one Arrow-batched
+       numpy argmax per batch; cell id becomes the inverted-list key.
+    3. **Search**: each query probes its ``n_probe`` nearest cells; the
+       candidate join is a hash equi-join on cell id (no cross join, no
+       corpus broadcast) and the exact cosine reranks candidates.
+
+    Recall rises with n_probe (n_probe == n_cells ⇒ exact search).
+    """
+    from dedupe_spark.operators.sampling import deterministic_sample
+
+    # --- train on a bounded sample (driver-side numpy, seeded) ----------
+    n = corpus.count()
+    rate = min(1.0, train_sample_rows / max(n, 1))
+    sample = (
+        deterministic_sample(corpus, id_col, rate=rate) if rate < 1.0 else corpus
+    )
+    train = np.array(
+        [r[0] for r in sample.select(vec_col).collect()], dtype=np.float64
+    )
+    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cells = min(n_cells, len(train))
+    centroids = train[rng.choice(len(train), size=cells, replace=False)]
+    for _ in range(10):  # Lloyd iterations on the (bounded) sample
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(cells):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+
+    sc = corpus.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        cent = b_cent.value
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        order = np.argsort(-sims, axis=1)[:, : min(n_probe, cent.shape[0])]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    c = _as_double(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        "n_vec",
+    ).withColumn("cell", probe_cells(F.col("n_vec")).getItem(0))
+    q = _as_double(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+    ).withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+
+    cand = (
+        q.join(c, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("cos", _pair_cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

@@ -1050,6 +1050,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) approximate nearest neighbors — the second
+    ANN scale path beside LSH (rows-only; recall vs brute force asserted
+    in tests/test_similarity.py)."""
+    from dedupe_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_cells=8, n_probe=4
+    ).orderBy("q_id", "rank")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over mapInPandas with the
     deterministic fake decoder (rows-only; codecs stubbed per environment).
@@ -1120,5 +1132,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, None),
         "simhash_dedupe": (q_simhash_dedupe, None),
         "ann_topk": (q_ann_topk, None),
+        "ivf_topk": (q_ivf_topk, None),
         "media_features": (q_media_features, None),
     }

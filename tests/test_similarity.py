@@ -119,3 +119,31 @@ def test_no_unbounded_collect_in_similarity_module():
 def test_dup_pairs_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_dup_pairs(empty).count() == 0
+
+
+def test_ivf_recall_vs_bruteforce(vectors):
+    from dedupe_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter("vec_id < 20")
+    exact = cosine_topk(queries, vectors, k=5).collect()
+    approx = ivf_topk(queries, vectors, k=5, n_cells=8, n_probe=3).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in approx:
+        got.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_full_probe_is_exact(vectors):
+    """n_probe == n_cells degenerates to exact search — same top-k sets."""
+    from dedupe_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter("vec_id in (0, 25, 60)")
+    exact = {(r["q_id"], r["n_id"]) for r in cosine_topk(queries, vectors, k=5).collect()}
+    full = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_topk(queries, vectors, k=5, n_cells=4, n_probe=4).collect()
+    }
+    assert full == exact
