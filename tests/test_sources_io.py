@@ -115,3 +115,26 @@ def test_iceberg_conf_and_identifier_shape(monkeypatch):
     assert cat.qualified("run0/fingerprints") == (
         f"{ICEBERG_CATALOG}.db.run0_fingerprints"
     )
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """A self-join on the bucket column of a bucketed table must not
+    re-shuffle either side — the physical plan has no Exchange above the
+    scans. This is the co-located-join contract write_bucketed exists for."""
+    from dedupe_spark.sources.io import write_bucketed
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("file_id"),
+        (F.col("id") % 7).alias("v"),
+    )
+    write_bucketed(df, "bucketed_fp_test", buckets=8)
+    try:
+        t = spark.table("bucketed_fp_test")
+        # force the sort-merge path (AQE would otherwise broadcast this
+        # tiny table); bucketing must make the SMJ shuffle-free
+        joined = t.alias("a").hint("merge").join(t.alias("b"), "file_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_fp_test")
