@@ -185,7 +185,7 @@ def _lsh_dup_pairs(
     candidate join is a hash equi-join on (table, signature) and the exact
     cosine reranks candidates. Recall is probabilistic: for cos ≥ 0.95 the
     defaults give ≥ 0.998 per-pair candidate probability
-    ((1 − (1 − (1 − θ/π)^8)^12 with θ ≈ 18°)."""
+    (1 − (1 − (1 − θ/π)^8)^12 with θ = arccos(0.95) ≈ 18°)."""
     head = df.select(vec_col).head()
     dim = len(head[0]) if head else 0
     if dim == 0:
