@@ -172,3 +172,131 @@ if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     feats = extract_features(media, decode_fn=fake_decode)
     media.groupBy("sniffed_format").count().orderBy("sniffed_format").show()
     print("error rows:", feats.filter("error is not null").count())
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, kind: str, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic stand-in for an image resize: decode the payload to a
+    1-D intensity signal and linearly resample it to out_w*out_h values —
+    shape-compatible with a real ``PIL.Image.resize`` wrapper."""
+    if not payload:
+        raise ValueError("empty payload")
+    src = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
+    idx = np.linspace(0, len(src) - 1, out_w * out_h)
+    return np.interp(idx, np.arange(len(src)), src).astype(np.float32)
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    out_w: int = 8,
+    out_h: int = 8,
+    resize_fn: Callable[[bytes, str, int, int], np.ndarray] = fake_resize,
+) -> DataFrame:
+    """Resize stage over ``mapInPandas`` — one fixed-size pixel array out
+    per row in; errors in-band (the stage never fails on a bad payload).
+
+    Swap ``resize_fn`` for a PIL/cv2 wrapper on a cluster with codecs; the
+    Spark-side contract (schema, Arrow batching, error channel) is
+    identical and is what the tests pin down.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pix: list[list[float] | None] = []
+            errs: list[str | None] = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    arr = resize_fn(
+                        bytes(payload) if payload is not None else b"",
+                        kind,
+                        out_w,
+                        out_h,
+                    )
+                    pix.append(arr.tolist())
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — in-band error channel
+                    pix.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": pix,
+                    "error": errs,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one input row → up to ``n_frames`` output rows
+    (evenly spaced byte-range "frames" of the payload — the deterministic
+    stand-in for an ffmpeg keyframe extractor; a real wrapper swaps the
+    slicing for decoded frames with the SAME 1→N row contract).
+
+    The 1→N explosion happens inside ``mapInPandas`` so output batch sizes
+    stay Arrow-bounded; non-video rows pass through as a single error row
+    (shape-stable output for downstream unions).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_no": [], "frame_payload": [],
+                "n_frame_bytes": [], "error": [],
+            }
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if kind != "video":
+                    out["media_id"].append(media_id)
+                    out["frame_no"].append(-1)
+                    out["frame_payload"].append(None)
+                    out["n_frame_bytes"].append(0)
+                    out["error"].append(f"not a video: kind={kind}")
+                    continue
+                if not raw:
+                    out["media_id"].append(media_id)
+                    out["frame_no"].append(-1)
+                    out["frame_payload"].append(None)
+                    out["n_frame_bytes"].append(0)
+                    out["error"].append("empty payload")
+                    continue
+                k = min(n_frames, len(raw))
+                bounds = [len(raw) * i // k for i in range(k + 1)]
+                for f in range(k):
+                    chunk = raw[bounds[f] : bounds[f + 1]]
+                    out["media_id"].append(media_id)
+                    out["frame_no"].append(f)
+                    out["frame_payload"].append(chunk)
+                    out["n_frame_bytes"].append(len(chunk))
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -1094,6 +1094,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over mapInPandas with the deterministic fake resizer
+    (rows-only; pixels projected to hashable scalars)."""
+    from dedupe_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=64)
+    out = resize_media(media, out_w=8, out_h=8, resize_fn=fake_resize)
+    return out.select(
+        "media_id",
+        "kind",
+        "out_w",
+        "out_h",
+        F.round(
+            F.aggregate(F.col("pixels"), F.lit(0.0), lambda a, v: a + v), 4
+        ).alias("pixel_mass"),
+        "error",
+    ).orderBy("media_id")
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (1→N row explosion inside mapInPandas;
+    rows-only)."""
+    from dedupe_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=64)
+    return sample_frames(media, n_frames=4).select(
+        "media_id", "frame_no", "n_frame_bytes", "error"
+    ).orderBy("media_id", "frame_no")
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -1134,4 +1168,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "ann_topk": (q_ann_topk, None),
         "ivf_topk": (q_ivf_topk, None),
         "media_features": (q_media_features, None),
+        "media_resize": (q_media_resize, None),
+        "media_frames": (q_media_frames, None),
     }

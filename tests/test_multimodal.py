@@ -77,3 +77,55 @@ def test_features_feed_similarity_ops(spark, media):
     )
     out = cosine_topk(feats.limit(3), feats, k=4)
     assert out.groupBy("q_id").count().filter("count != 4").count() == 0
+
+
+def test_resize_fixed_output_shape_and_error_channel(spark):
+    from dedupe_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=24)
+    out = resize_media(media, out_w=4, out_h=4, resize_fn=fake_resize)
+    rows = out.collect()
+    assert len(rows) == 24
+    ok = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert bad and all(r["pixels"] is None for r in bad)  # corrupt rows flow
+    assert all(len(r["pixels"]) == 16 for r in ok)  # fixed out_w*out_h
+    assert all(0.0 <= v <= 1.0 for r in ok for v in r["pixels"])
+
+
+def test_resize_deterministic(spark):
+    from dedupe_spark.operators.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(spark, n=12)
+    a = sorted(map(tuple, resize_media(media).collect()))
+    b = sorted(map(tuple, resize_media(media).collect()))
+    assert a == b
+
+
+def test_frame_sampling_one_to_many_contract(spark):
+    from dedupe_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=24)
+    n_videos = media.filter("kind = 'video'").count()
+    out = sample_frames(media, n_frames=4)
+    frames = out.filter("error is null").collect()
+    # every healthy video yields exactly 4 frames that concatenate back
+    # to the original payload (byte-exact coverage, no gaps/overlaps)
+    per_vid = {}
+    for r in frames:
+        per_vid.setdefault(r["media_id"], []).append(r)
+    assert len(per_vid) == n_videos
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'video'").collect()
+    }
+    for vid, fr in per_vid.items():
+        fr.sort(key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in fr] == list(range(4))
+        assert b"".join(bytes(r["frame_payload"]) for r in fr) == payloads[vid]
+    # non-video rows surface as single in-band error rows
+    assert out.filter("error is not null").count() == 24 - n_videos
