@@ -983,6 +983,72 @@ ORDER BY user_id, session_start
 """
 
 
+def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata extraction: parse the events.props JSON
+    column JVM-side (get_json_object — no UDF) and aggregate by the
+    extracted key bucket. The training-data shape: pull typed fields out
+    of a metadata blob column without a Python round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+SQL_EVENT_PROPS = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join (region→nation→customer→orders→lineitem)
+    + agg — the join-ordering / broadcast-dimension stress query. The two
+    tiny dims broadcast; the fact-side joins shuffle on their keys."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + top-k (join-order/broadcast test)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1163,6 +1229,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
         "sessionization": (q_sessionization, SQL_SESSIONIZATION),
         "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+        "event_props": (q_event_props, SQL_EVENT_PROPS),
+        "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
         "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, None),
         "simhash_dedupe": (q_simhash_dedupe, None),
         "ann_topk": (q_ann_topk, None),
