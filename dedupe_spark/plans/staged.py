@@ -67,9 +67,15 @@ class StagedPipeline:
         return f"{self.cfg.run_id}/{stage}"
 
     def _metric(self, stage: str, metric: str, value: float) -> None:
-        row = [(self.cfg.run_id, stage, metric, float(value))]
+        self._metrics([(stage, metric, value)])
+
+    def _metrics(self, rows: list[tuple[str, str, float]]) -> None:
+        """Append metric rows in ONE write per call — per-stage batching
+        keeps crash durability (a committed stage always has its metrics)
+        without one tiny parquet file per metric."""
+        data = [(self.cfg.run_id, s, m, float(v)) for s, m, v in rows]
         df = self.spark.createDataFrame(
-            row, "run_id string, stage string, metric string, value double"
+            data, "run_id string, stage string, metric string, value double"
         ).withColumn("ts", F.current_timestamp())
         df.write.mode("append").parquet(self.catalog.path("_metrics"))
 
@@ -112,8 +118,9 @@ class StagedPipeline:
             return False
         t0 = time.perf_counter()
         rows = self.catalog.write(build(), tbl)
-        self._metric(stage, "rows", rows)
-        self._metric(stage, "seconds", time.perf_counter() - t0)
+        self._metrics(
+            [(stage, "rows", rows), (stage, "seconds", time.perf_counter() - t0)]
+        )
         self._lineage(stage, self.catalog.read(tbl))
         return True
 
