@@ -236,6 +236,14 @@ def simhash_dedupe(
     Residual predicate is the exact popcount (hash_generator.py:116-140's
     XOR+popcount, as JVM ``bit_count``).
     Returns (id, cluster_id, is_representative); null cluster ⇔ singleton.
+
+    Identical fingerprints are pre-collapsed into super-nodes before the
+    banded join (the flagship pipeline's exact-tier trick): a document
+    duplicated a million times enters candidate generation as ONE row, so
+    giant exact-dup groups never quadratically inflate any bucket. The
+    collapse is lossless — identical simhash ⇒ Hamming 0 ⇒ same cluster —
+    and the final labels are identical to the uncollapsed computation
+    (component label = min id; each group rep is already its group min).
     """
     cfg = cfg or PipelineConfig()
     fp = with_fingerprints(
@@ -252,15 +260,24 @@ def simhash_dedupe(
         rows=cfg.lsh_rows,
     ).select(F.col("path").alias("id"), "simhash", "error")
     healthy = fp.filter(F.col("error").isNull()).select("id", "simhash").cache()
-    edges = simhash_hamming_pairs(healthy, hamming_threshold=hamming_threshold)
-    comp = connected_components(edges)
-    out = healthy.join(
-        comp.select(
-            F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
-        ),
-        "id",
-        "left",
+
+    groups = healthy.groupBy("simhash").agg(
+        F.min("id").alias("rep"), F.count("*").alias("n")
     )
+    edges = simhash_hamming_pairs(
+        groups.select(F.col("rep").alias("id"), "simhash"),
+        hamming_threshold=hamming_threshold,
+    )
+    comp = connected_components(edges)
+    rep_cluster = groups.join(
+        comp.withColumnRenamed("file_id", "rep"), "rep", "left"
+    ).select(
+        "simhash",
+        F.when(F.col("component").isNotNull(), F.col("component"))
+        .when(F.col("n") >= 2, F.col("rep"))
+        .alias("cluster_id"),
+    )
+    out = healthy.join(rep_cluster, "simhash", "left")
     w_rep = F.min("id").over(
         Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
     )
@@ -349,19 +366,41 @@ def ngram_jaccard_dedupe(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dedup: τ-pairs → connected components."""
+    """Exact n-gram Jaccard near-dedup: τ-pairs → connected components.
+
+    Byte-identical texts are pre-collapsed into super-nodes before the
+    set-similarity join (a giant exact-dup group would otherwise emit
+    O(m²) Jaccard-1 pairs). Lossless: identical text ⇒ identical gram set
+    ⇒ Jaccard 1 ⇒ same cluster, and labels are unchanged (component label
+    = min id; each group rep is its group min, so min-over-reps equals
+    min-over-members). The DuckDB oracle twin computes the uncollapsed
+    closure and matches exactly.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.md5(F.col(text_col)).alias("_tkey"),
+    )
+    groups = keyed.groupBy("_tkey").agg(
+        F.min("id").alias("rep"), F.count("*").alias("n")
+    )
+    rep_rows = keyed.join(
+        groups.select(F.col("_tkey"), F.col("rep").alias("id")),
+        ["_tkey", "id"],
+    )
     edges = ngram_jaccard_pairs(
-        df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
+        rep_rows, "id", "_text", k=k, threshold=threshold, max_df=max_df
     )
     comp = connected_components(edges)
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(
-        comp.select(
-            F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
-        ),
-        "id",
-        "left",
+    rep_cluster = groups.join(
+        comp.withColumnRenamed("file_id", "rep"), "rep", "left"
+    ).select(
+        "_tkey",
+        F.when(F.col("component").isNotNull(), F.col("component"))
+        .when(F.col("n") >= 2, F.col("rep"))
+        .alias("cluster_id"),
     )
+    return keyed.join(rep_cluster, "_tkey", "left").select("id", "cluster_id")
 
 
 def minhash_lsh_dedupe(

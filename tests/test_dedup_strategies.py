@@ -165,3 +165,39 @@ def test_simhash_pairs_large_threshold_fallback(spark):
         if bin((sims[i] ^ sims[j]) & mask).count("1") <= t
     }
     assert _pairs(spark, sims, threshold=t) == brute
+
+
+def test_simhash_dedupe_collapses_exact_groups(spark):
+    """50 byte-identical docs + a near variant + unrelated docs: identical
+    fingerprints enter candidate generation as one super-node, and the
+    expanded clusters still put every copy (plus the near variant) in one
+    cluster labeled by the min id."""
+    from dedupe_spark.operators.dedup import simhash_dedupe
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(i, base) for i in range(50)]
+    rows += [(60 + i, f"totally different text number {i} about spark plans rows columns shuffle") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["cluster_id"] for r in simhash_dedupe(df, "doc_id", "text").collect()}
+    family = {out[str(i)] for i in range(50)}
+    assert family == {"0"}, family          # all copies, labeled by min id
+    # the unrelated docs never leak into the exact family
+    assert all(out[str(60 + i)] != "0" for i in range(5))
+
+
+def test_ngram_dedupe_collapses_exact_groups(spark):
+    from dedupe_spark.operators.dedup import ngram_jaccard_dedupe
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base) for i in range(30)]
+    rows.append((30, base + " iota"))  # high-Jaccard variant
+    rows += [(40 + i, f"unrelated words here {i} xi omicron pi rho sigma") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in ngram_jaccard_dedupe(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert len(out) == 35
+    assert {out[i] for i in range(30)} == {0}
+    assert out[30] == 0
+    assert all(out[40 + i] is None or out[40 + i] >= 40 for i in range(4))
