@@ -983,6 +983,85 @@ ORDER BY user_id, session_start
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) — Catalyst decorrelates it into an aggregate + join; the
+    plan to look for is one extra shuffle on the correlation key, never a
+    per-row re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (lang, source) — one pass
+    produces per-(lang,source), per-lang, and grand-total rows; the
+    grouping-sets operator the debug histograms generalize to."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT lang, source, count(*) AS n FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+"""
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length percentiles per lang (quality-cutoff calibration —
+    the op behind 'drop the bottom 5% by length' curation rules).
+    Uses EXACT percentile (not approx) so the DuckDB twin matches
+    bit-for-bit; at 100 TB you'd switch to approx_percentile and a
+    tolerance-based check."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.05)"), 4).alias("p05"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_LENGTH_PERCENTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.05), 4) AS p05,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured metadata extraction: parse the events.props JSON
     column JVM-side (get_json_object — no UDF) and aggregate by the
@@ -1230,6 +1309,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "sessionization": (q_sessionization, SQL_SESSIONIZATION),
         "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
         "event_props": (q_event_props, SQL_EVENT_PROPS),
+        "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+        "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
         "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, None),
         "simhash_dedupe": (q_simhash_dedupe, None),
