@@ -1,0 +1,78 @@
+"""Incremental-update tests: two-batch ingestion must produce the same
+clusters as a one-shot batch run on the union, and re-submitting a batch
+must be idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.config import PipelineConfig
+from dedupe_spark.fixtures import files_dataframe, labeled_pairs
+from dedupe_spark.oracle import pairwise_f1
+from dedupe_spark.plans.incremental import incremental_update
+from dedupe_spark.plans.staged import StagedPipeline
+
+
+def _clusters(df):
+    return {
+        r["file_id"]: r["cluster_id"]
+        for r in df.select("file_id", "cluster_id").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def split_runs(spark, corpus, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_inc"))
+    all_files = files_dataframe(spark, corpus).cache()
+    half1 = all_files.filter(F.crc32(F.col("path")) % 2 == 0)
+    half2 = all_files.filter(F.crc32(F.col("path")) % 2 == 1)
+
+    inc_cfg = PipelineConfig(run_id="inc", warehouse=wh)
+    pipe = StagedPipeline(spark, inc_cfg)
+    pipe.run(half1)
+    counts = incremental_update(spark, half2, inc_cfg)
+
+    batch_cfg = PipelineConfig(run_id="oneshot", warehouse=wh)
+    batch = StagedPipeline(spark, batch_cfg)
+    batch.run(all_files)
+    return pipe, batch, counts, half2
+
+
+def test_incremental_appends_only_new_fingerprints(split_runs):
+    pipe, _batch, counts, half2 = split_runs
+    assert counts["fingerprints_appended"] == half2.count()
+
+
+def test_incremental_matches_oneshot_clusters(split_runs, corpus):
+    """The incremental path may generate candidates in a different order,
+    but every planted family is threshold-complete, so final clusters must
+    match the one-shot run exactly (and the planted truth at F1 ≥ 0.99)."""
+    pipe, batch, _counts, _ = split_runs
+    inc = _clusters(pipe.result())
+    one = _clusters(batch.result())
+    assert set(inc) == set(one)
+    # same partition of files into clusters (labels are both min-id, so
+    # equality is exact, not just partition-equivalent)
+    assert inc == one
+    f1 = pairwise_f1(inc, labeled_pairs(corpus))
+    assert f1 >= 0.99, f1
+
+
+def test_incremental_resubmission_is_idempotent(spark, split_runs):
+    """Re-submitting the same batch adds no new edges and leaves the
+    assignment unchanged (the left-anti edge dedup)."""
+    pipe, _batch, _counts, half2 = split_runs
+    before = _clusters(pipe.result())
+    edges_before = pipe.catalog.rows("inc/edges")
+    counts2 = incremental_update(
+        spark, half2, PipelineConfig(run_id="inc", warehouse=pipe.catalog.warehouse)
+    )
+    assert counts2["edges_total"] == edges_before
+    assert _clusters(pipe.result()) == before
+
+
+def test_incremental_requires_existing_run(spark, corpus, tmp_path):
+    cfg = PipelineConfig(run_id="nope", warehouse=str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="fingerprints"):
+        incremental_update(spark, files_dataframe(spark, corpus), cfg)
