@@ -60,6 +60,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--analyze", action="store_true",
                    help="report duplicates only, organize/write nothing "
                         "(the reference's `analyze` entry point)")
+    p.add_argument("--update", action="store_true",
+                   help="append the input as a new batch to an existing run "
+                        "(incremental dedup: old-vs-old pairs not recomputed)")
     p.add_argument("--until", default="assignment",
                    choices=["fingerprints", "exact", "buckets", "edges",
                             "labels", "assignment"],
@@ -118,7 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     pipe = StagedPipeline(spark, cfg)
-    ran = pipe.run(files, resume=not args.no_resume, until=args.until)
+    if args.update:
+        from dedupe_spark.plans.incremental import incremental_update
+
+        ran = incremental_update(spark, files, cfg)
+    else:
+        ran = pipe.run(files, resume=not args.no_resume, until=args.until)
 
     if args.until != "assignment":
         # partial-stage run: no assignment table yet — report per-stage

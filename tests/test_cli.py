@@ -90,3 +90,24 @@ def test_output_writes_survivors(docs_parquet, capsys, tmp_path):
     assert surv.count() == rep["total_files"] - (
         rep["files_in_groups"] - rep["duplicate_groups"]
     )
+
+
+def test_update_mode_appends_batch(docs_parquet, capsys, tmp_path, spark):
+    """--update appends the input as a new batch to an existing run."""
+    wh = str(tmp_path / "wh")
+    main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli4", "--analyze", "--quiet",
+    ])
+    capsys.readouterr()
+    more = str(tmp_path / "more.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id >= 400").write.parquet(more)
+    rc = main([
+        "--input", more, "--documents", "--warehouse", wh,
+        "--run-id", "cli4", "--update", "--analyze", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    assert rep["total_files"] > 60  # original 60 + appended batch
+    assert rep["stages_ran"]["fingerprints_appended"] > 0
