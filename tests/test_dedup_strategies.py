@@ -216,3 +216,36 @@ def test_cc_long_chain_converges_within_cap(spark):
     }
     assert len(got) == n
     assert set(got.values()) == {"v0000"}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Randomized stress: mixed chains/cliques/isolated pairs on shuffled
+    string ids must match a pure-Python union-find exactly (labels = min
+    original id per component)."""
+    import random
+
+    rng = random.Random(7)
+    ids = [f"n{i:05d}" for i in range(600)]
+    rng.shuffle(ids)
+    edges = []
+    # random cliques
+    pool = ids[:200]
+    for c in range(20):
+        fam = pool[c * 10 : (c + 1) * 10]
+        edges += [(fam[i], fam[i + 1]) for i in range(len(fam) - 1)]
+        edges += [(rng.choice(fam), rng.choice(fam)) for _ in range(5)]
+    # chains
+    chain = ids[200:320]
+    edges += [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)]
+    # random sparse edges across the rest
+    rest = ids[320:]
+    edges += [
+        (rng.choice(rest), rng.choice(rest)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {
+        r["file_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _truth_components(edges)
