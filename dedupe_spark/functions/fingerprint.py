@@ -147,6 +147,95 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# batched kernels — same math as the per-doc functions above, computed for
+# a whole Arrow batch at once (segment reduceat instead of a Python loop
+# of small-matrix calls; measured ~2× the per-doc throughput). The per-doc
+# functions remain the reference implementation; equivalence is pinned by
+# tests/test_fingerprint.py::test_batched_kernels_match_per_doc.
+# ---------------------------------------------------------------------------
+
+
+def _unique_per_row(
+    values: np.ndarray, row_idx: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique values per row → (flat uniques, per-row counts)."""
+    if values.size == 0:
+        return values, np.zeros(n_rows, dtype=np.int64)
+    order = np.lexsort((values, row_idx))
+    v, r = values[order], row_idx[order]
+    keep = np.ones(v.size, dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    vu, ru = v[keep], r[keep]
+    return vu, np.bincount(ru, minlength=n_rows)
+
+
+def _simhash_batch(
+    vu: np.ndarray, offsets: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Per-row simhash over concatenated unique shingle hashes."""
+    n = counts.size
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    starts = offsets[:-1][nonempty]
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = np.empty((starts.size, 64), dtype=np.int64)
+    for g in range(0, 64, 16):  # chunk shifts: bounds the (M, 16) temporary
+        sh = shifts[g : g + 16]
+        bits = ((vu[:, None] >> sh) & np.uint64(1)).astype(np.int32)
+        votes[:, g : g + 16] = np.add.reduceat(bits, starts, axis=0)
+    maj = (votes * 2 > counts[nonempty][:, None]).astype(np.uint64)
+    packed = (maj << shifts).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed.astype(np.int64)
+    return out
+
+
+def _minhash_batch(
+    vu: np.ndarray,
+    offsets: np.ndarray,
+    counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """Per-row MinHash signatures (n_rows, num_perm) int32."""
+    n, num_perm = counts.size, a.shape[0]
+    out = np.full((n, num_perm), np.iinfo(np.int32).max, dtype=np.int32)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    starts = offsets[:-1][nonempty]
+    h32 = (vu & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    p = np.uint64(_MERSENNE_P)
+    s61 = np.uint64(61)
+    mins = np.empty((num_perm, starts.size), dtype=np.uint64)
+    for g in range(0, num_perm, 32):  # chunk perms: bounds the (32, M) temp
+        ag, bg = a[g : g + 32, None], b[g : g + 32, None]
+        x = ag * h32[None, :] + bg  # < 2^63 + 2^31, fits uint64
+        # Mersenne reduction: 2^61 ≡ 1 (mod p) → x mod p computed with a
+        # shift+add+conditional-subtract instead of 64-bit hardware modulo
+        # (~3× faster; no SIMD div exists). Exact: y < 2p after folding.
+        y = (x & p) + (x >> s61)
+        phi = np.where(y >= p, y - p, y)
+        mins[g : g + 32] = np.minimum.reduceat(phi, starts, axis=1)
+    out[nonempty] = (mins & np.uint64(0x7FFFFFFF)).astype(np.int32).T
+    return out
+
+
+def _band_hashes_batch(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Per-row band keys (n_rows, bands) int64 from an int32 sig matrix."""
+    s = sig.astype(np.uint64).reshape(sig.shape[0], bands, rows)
+    acc = np.broadcast_to(
+        (np.arange(bands, dtype=np.uint64) * _BAND_C0) + _BAND_C1,
+        (sig.shape[0], bands),
+    ).copy()
+    for j in range(rows):
+        acc = (acc ^ s[:, :, j]) * _BAND_C2
+        acc ^= acc >> np.uint64(29)
+    return acc.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # the pandas UDF
 # ---------------------------------------------------------------------------
 
@@ -180,27 +269,31 @@ def make_fingerprint_udf(shingle_k: int, num_perm: int, bands: int, rows: int):
         flat_hashes = _hash_shingles_batch(flat_tokens)
         offsets = np.concatenate(([0], np.cumsum(tok_counts)))
 
-        simhashes = np.zeros(n, dtype=np.int64)
-        counts = np.zeros(n, dtype=np.int32)
-        sigs: list[np.ndarray] = []
-        bkeys: list[np.ndarray] = []
-        for i in range(n):
-            sh = shingle_hash_rolling(
-                flat_hashes[offsets[i] : offsets[i + 1]], shingle_k
-            )
-            h = np.unique(sh)  # shingle *set*
-            counts[i] = h.size
-            simhashes[i] = simhash_from_hashes(h)
-            sig = minhash_from_hashes(h, a_coef, b_coef)
-            sigs.append(sig)
-            bkeys.append(band_hashes(sig, bands, rows))
+        # roll the k-window per row (cheap), then run the heavy kernels
+        # BATCHED over the whole Arrow batch — segment reduceat instead of
+        # 4096 small-matrix calls (~2× throughput, identical outputs)
+        rolled = [
+            shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
+            for i in range(n)
+        ]
+        lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
+        flat_rolled = (
+            np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
+        )
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        vu, counts = _unique_per_row(flat_rolled, row_idx, n)
+        u_offsets = np.concatenate(([0], np.cumsum(counts)))
+
+        simhashes = _simhash_batch(vu, u_offsets, counts)
+        sig_matrix = _minhash_batch(vu, u_offsets, counts, a_coef, b_coef)
+        bkey_matrix = _band_hashes_batch(sig_matrix, bands, rows)
 
         return pd.DataFrame(
             {
                 "simhash": simhashes,
-                "minhash_sig": sigs,
-                "band_keys": bkeys,
-                "n_shingles": counts,
+                "minhash_sig": list(sig_matrix),
+                "band_keys": list(bkey_matrix),
+                "n_shingles": counts.astype(np.int32),
                 "n_tokens": tok_counts.astype(np.int32),
             }
         )

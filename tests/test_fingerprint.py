@@ -96,3 +96,45 @@ def test_tokenize_and_shingles():
     assert shingle_strings(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
     assert shingle_strings(["a"], 3) == ["a"]
     assert shingle_strings([], 3) == []
+
+
+def test_batched_kernels_match_per_doc():
+    """The batched segment-reduceat kernels must reproduce the per-doc
+    reference functions bit-for-bit on random inputs (incl. empty rows)."""
+    import numpy as np
+
+    from dedupe_spark.functions.fingerprint import (
+        _band_hashes_batch,
+        _minhash_batch,
+        _minhash_coeffs,
+        _simhash_batch,
+        _unique_per_row,
+        band_hashes,
+        minhash_from_hashes,
+        simhash_from_hashes,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(200):
+        size = [0, 1, 3, 40, 120][i % 5]
+        arr = rng.integers(0, 1 << 63, size=size, dtype=np.uint64)
+        if size > 2:
+            arr[1] = arr[0]  # plant duplicates to exercise the set semantics
+        rows.append(arr)
+    flat = np.concatenate(rows) if rows else np.empty(0, dtype=np.uint64)
+    lens = np.array([r.size for r in rows])
+    row_idx = np.repeat(np.arange(len(rows)), lens)
+    vu, counts = _unique_per_row(flat, row_idx, len(rows))
+    offs = np.concatenate(([0], np.cumsum(counts)))
+
+    a, b = _minhash_coeffs(128)
+    sim_b = _simhash_batch(vu, offs, counts)
+    sig_b = _minhash_batch(vu, offs, counts, a, b)
+    band_b = _band_hashes_batch(sig_b, 32, 4)
+    for i, r in enumerate(rows):
+        h = np.unique(r)
+        assert sim_b[i] == simhash_from_hashes(h), i
+        ref_sig = minhash_from_hashes(h, a, b)
+        assert (sig_b[i] == ref_sig).all(), i
+        assert (band_b[i] == band_hashes(ref_sig, 32, 4)).all(), i
