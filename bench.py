@@ -44,6 +44,19 @@ def main() -> None:
     # one-time session cost that would otherwise be billed to whichever
     # query runs first.
     spark.range(0, 1000).mapInPandas(lambda it: it, "id long").groupBy().sum().collect()
+    # ... and JIT the pipeline's own codegen paths (hash joins, window
+    # ranks, checkpoint machinery, sha2/bit_count expressions) on a
+    # 64-row inline table: whole-stage-codegen classes compile per plan
+    # SHAPE, so the first real query otherwise pays ~10 s of one-time
+    # JVM compilation that is not a property of the engine under test.
+    warm = spark.createDataFrame(
+        [("r", f"p{i}", "0", "text", f"warm doc {i} " + "tok " * (i % 7))
+         for i in range(64)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    dedup_pipeline(warm, PipelineConfig()).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # flagship: full record-linkage pipeline over the documents table
     def flagship() -> None:

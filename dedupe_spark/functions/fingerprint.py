@@ -301,6 +301,54 @@ def make_fingerprint_udf(shingle_k: int, num_perm: int, bands: int, rows: int):
     return fingerprint_udf
 
 
+_SIMHASH_STRUCT = T.StructType(
+    [
+        T.StructField("simhash", T.LongType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+)
+
+
+def make_simhash_udf(shingle_k: int):
+    """Simhash-only fingerprint UDF — for callers that never read the
+    MinHash signature or band keys (e.g. ``simhash_dedupe``): skips the
+    128-permutation MinHash and band folding, the dominant kernel cost.
+    Identical simhash values to ``make_fingerprint_udf`` (same tokenize →
+    hash → roll → unique → majority-vote path)."""
+
+    @pandas_udf(_SIMHASH_STRUCT)
+    def simhash_udf(content: pd.Series) -> pd.DataFrame:
+        n = len(content)
+        tokens_per_row: list[list[str]] = [
+            tokenize(c) if isinstance(c, str) else [] for c in content
+        ]
+        tok_counts = np.fromiter(
+            (len(t) for t in tokens_per_row), dtype=np.int64, count=n
+        )
+        flat_tokens = [t for row in tokens_per_row for t in row]
+        flat_hashes = _hash_shingles_batch(flat_tokens)
+        offsets = np.concatenate(([0], np.cumsum(tok_counts)))
+        rolled = [
+            shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
+            for i in range(n)
+        ]
+        lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
+        flat_rolled = (
+            np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
+        )
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        vu, counts = _unique_per_row(flat_rolled, row_idx, n)
+        u_offsets = np.concatenate(([0], np.cumsum(counts)))
+        return pd.DataFrame(
+            {
+                "simhash": _simhash_batch(vu, u_offsets, counts),
+                "n_tokens": tok_counts.astype(np.int32),
+            }
+        )
+
+    return simhash_udf
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-level stage
 # ---------------------------------------------------------------------------

@@ -69,12 +69,23 @@ def lsh_buckets(
     """Explode band keys into (band_id, band_hash, salt, file_id, simhash).
 
     ``fp_reps`` must already be deduplicated to one row per distinct content
-    (the exact-tier representatives). Bucket sizes come from an orderless
-    window over the bucket key — ONE exchange for count + filter + salt
-    (a groupBy+join-back costs two). Buckets larger than ``max_bucket_size``
+    (the exact-tier representatives). Buckets larger than ``max_bucket_size``
     are salted: each member lands in one of ``bucket_salt`` sub-buckets via
     a per-(band,file) hash, bounding within-bucket work; transitive closure
     re-merges the split because bands salt differently.
+
+    Skew-safe sizing: bucket sizes come from a ``groupBy`` — map-side
+    partial aggregation, so a degenerate hot bucket contributes one partial
+    count per task, never all its occurrences into a single task (the r2
+    design counted with ``count(*) OVER (PARTITION BY band_id, band_hash)``,
+    which concentrated exactly the bucket salting exists to split). The
+    over-cap bucket list is tiny by construction (≤ n·bands /
+    max_bucket_size keys) and broadcast back — the salt assignment is a
+    pure projection with ZERO exchange of the exploded rows; the only full
+    exchange on bucket keys downstream is ``candidate_pairs``' window,
+    which partitions on the already-salted key. Singleton buckets are no
+    longer pre-filtered (that filter itself cost a full keyed exchange);
+    they die in the rank-join for free.
 
     The simhash rides along (8 bytes/row) to enable the in-join Hamming
     prefilter in ``candidate_pairs`` — see module docstring.
@@ -84,15 +95,18 @@ def lsh_buckets(
         "simhash",
         F.posexplode("band_keys").alias("band_id", "band_hash"),
     )
-    w = Window.partitionBy("band_id", "band_hash")
-    exploded = exploded.withColumn("bucket_n", F.count("*").over(w))
-    # buckets of size 1 can't produce pairs — drop them before the self-join
+    hot = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .select("band_id", "band_hash", F.lit(True).alias("_hot"))
+    )
     return (
-        exploded.filter(F.col("bucket_n") >= 2)
+        exploded.join(F.broadcast(hot), ["band_id", "band_hash"], "left")
         .withColumn(
             "salt",
             F.when(
-                F.col("bucket_n") > max_bucket_size,
+                F.col("_hot"),
                 F.pmod(F.xxhash64("file_id", "band_id"), F.lit(bucket_salt)),
             ).otherwise(F.lit(0)),
         )

@@ -47,7 +47,13 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(a,b) canonical edges → large-star rewired edges (still canonical)."""
+    """(a,b) canonical edges → large-star rewired edges (still canonical).
+
+    Canonical orientation (a < b) lets each half of the symmetric view be a
+    pure column rename instead of a union rebuild: the ``u > v`` rows of
+    sym(edges) are exactly ``edges`` as (v=a, u=b). Only the neighborhood
+    minimum needs both directions.
+    """
     sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
         edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
@@ -56,20 +62,22 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("u").alias("mu"))
         .select("v", F.least("mu", F.col("v")).alias("m"))
     )
+    bigger = edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
     return (
-        sym.join(mins.hint("shuffle_hash"), "v")
-        .filter(F.col("u") > F.col("v"))
+        bigger.join(mins.hint("shuffle_hash"), "v")
         .select(F.least("u", "m").alias("a"), F.greatest("u", "m").alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """(a,b) canonical edges → small-star rewired edges (still canonical)."""
-    sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
-        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
-    )
-    smaller = sym.filter(F.col("u") < F.col("v"))
+    """(a,b) canonical edges → small-star rewired edges (still canonical).
+
+    The ``u < v`` half of sym(edges) is exactly ``edges`` with the roles
+    swapped (v=b, u=a) — no symmetric union, no filter; one scan feeds both
+    the per-vertex minimum and the rewire join.
+    """
+    smaller = edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
     mins = smaller.groupBy("v").agg(F.min("u").alias("m"))
     rewired = (
         smaller.join(mins.hint("shuffle_hash"), "v")
@@ -100,7 +108,12 @@ def _propagate(e: DataFrame, max_iterations: int) -> DataFrame:
     prev_sig = None
     converged = False
     for _it in range(max_iterations):
-        new_edges = _small_star(_large_star(edges)).distinct()
+        # persist the large-star output: small-star's min/rewire branches
+        # would otherwise re-execute the large-star groupBy+join once per
+        # scan (measured as the bulk of the r2 per-round cost). The cache
+        # populates during the same checkpoint job — no extra action.
+        large = _large_star(edges).persist()
+        new_edges = _small_star(large).distinct()
         obs = Observation()
         new_edges = new_edges.observe(
             obs,
@@ -108,6 +121,7 @@ def _propagate(e: DataFrame, max_iterations: int) -> DataFrame:
             F.bit_xor(F.xxhash64("a", "b")).alias("sig"),
         )
         edges = new_edges.localCheckpoint(eager=True)
+        large.unpersist()
         sig = (obs.get["n"], obs.get["sig"])
         if sig == prev_sig:
             converged = True

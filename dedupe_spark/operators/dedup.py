@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dedupe_spark.config import PipelineConfig
-from dedupe_spark.functions.fingerprint import with_fingerprints
+from dedupe_spark.functions.fingerprint import make_simhash_udf, with_fingerprints
 from dedupe_spark.operators.blocking import (
     candidate_pairs,
     cap_degree,
@@ -246,20 +246,17 @@ def simhash_dedupe(
     (component label = min id; each group rep is already its group min).
     """
     cfg = cfg or PipelineConfig()
-    fp = with_fingerprints(
-        df.select(
-            F.col(id_col).cast("string").alias("path"),
-            F.col(text_col).alias("content"),
-        )
-        .withColumn("repo", F.lit("t"))
-        .withColumn("commit", F.lit("0"))
-        .withColumn("lang", F.lit("text")),
-        shingle_k=cfg.shingle_k,
-        num_perm=cfg.num_perm,
-        bands=cfg.lsh_bands,
-        rows=cfg.lsh_rows,
-    ).select(F.col("path").alias("id"), "simhash", "error")
-    healthy = fp.filter(F.col("error").isNull()).select("id", "simhash").cache()
+    simhash_udf = make_simhash_udf(cfg.shingle_k)
+    # simhash-only fingerprint: this operator never reads the MinHash
+    # signature or band keys, so skip the 128-perm kernels entirely.
+    # healthy ⇔ n_tokens > 0 — exactly with_fingerprints' error channel
+    # (null / empty / whitespace-only / token-free content all tokenize
+    # to zero tokens).
+    fp = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        simhash_udf(F.col(text_col)).alias("_fp"),
+    ).select("id", "_fp.simhash", "_fp.n_tokens")
+    healthy = fp.filter(F.col("n_tokens") > 0).select("id", "simhash").cache()
 
     groups = healthy.groupBy("simhash").agg(
         F.min("id").alias("rep"), F.count("*").alias("n")
@@ -286,31 +283,8 @@ def simhash_dedupe(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    k: int = 2,
-    threshold: float = 0.5,
-    max_df: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity self-join, fully relational.
-
-    distinct (id, gram) rows → self-join on gram (inverted-index join; the
-    classic set-similarity join) → |∩| per pair via groupBy → Jaccard by
-    inclusion-exclusion against per-doc gram counts. No UDF anywhere, so the
-    whole plan is codegen'd and the oracle twin runs verbatim in DuckDB.
-
-    Scale note: the gram join is the textbook prefix-filter candidate; hot
-    grams (stopword shingles) are the skew risk. ``max_df`` drops grams
-    appearing in more than that many documents from the universe BEFORE the
-    join — the standard set-similarity-join df-cap. Similarity then means
-    "Jaccard over sub-ubiquitous grams" (hot grams carry no discriminative
-    signal anyway); each per-gram join group shrinks from O(df²) to
-    O(max_df²). The SQL oracle applies the identical cap, so parity holds
-    exactly.
-    """
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, *, k: int) -> DataFrame:
+    """Distinct (id, gram) rows: whitespace tokens → full k-grams only."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
@@ -318,7 +292,7 @@ def ngram_jaccard_pairs(
         ),
     )
     w = Window.partitionBy("id").orderBy("pos")
-    grams = (
+    return (
         toks.select(
             "id",
             F.concat_ws(
@@ -330,11 +304,39 @@ def ngram_jaccard_pairs(
         .select("id", "gram")
         .distinct()
     )
-    if max_df is not None:
-        w_df = Window.partitionBy("gram")
-        grams = grams.withColumn("df", F.count("*").over(w_df)).filter(
-            F.col("df") <= max_df
-        ).drop("df")
+
+
+def _df_cap(
+    grams: DataFrame, *, max_df: int, weights: DataFrame | None = None
+) -> DataFrame:
+    """Drop grams whose document frequency exceeds ``max_df``.
+
+    Skew-safe form: the df count is a ``groupBy(gram)`` — map-side partial
+    aggregation, so a stopword gram contributes one partial count per task,
+    never O(corpus) rows into a single window task (the r2 design counted
+    with ``count(*) OVER (PARTITION BY gram)``, which shuffled every
+    occurrence of exactly the hot grams the cap exists to drop into one
+    task). The over-cap gram list is tiny by construction (≤ total gram
+    occurrences / max_df) and broadcast for an exchange-free anti-join.
+
+    ``weights`` (optional, (id, w)): counts each doc-gram occurrence with
+    weight ``w`` — callers that pre-collapsed exact-duplicate texts pass
+    the group sizes so df means "documents containing the gram", not
+    "distinct texts containing it".
+    """
+    if weights is not None:
+        weighted = grams.join(weights, "id").select(
+            "gram", F.col("w").cast("long").alias("w")
+        )
+        counts = weighted.groupBy("gram").agg(F.sum("w").alias("df"))
+    else:
+        counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    hot = counts.filter(F.col("df") > max_df).select("gram")
+    return grams.join(F.broadcast(hot), "gram", "left_anti")
+
+
+def _jaccard_pairs_from_grams(grams: DataFrame, *, threshold: float) -> DataFrame:
+    """(id, gram) → (id1 < id2, jaccard ≥ threshold) via inverted-index join."""
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -357,6 +359,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join, fully relational.
+
+    distinct (id, gram) rows → self-join on gram (inverted-index join; the
+    classic set-similarity join) → |∩| per pair via groupBy → Jaccard by
+    inclusion-exclusion against per-doc gram counts. No UDF anywhere, so the
+    whole plan is codegen'd and the oracle twin runs verbatim in DuckDB.
+
+    Scale note: the gram join is the textbook prefix-filter candidate; hot
+    grams (stopword shingles) are the skew risk. ``max_df`` drops grams
+    appearing in more than that many documents from the universe BEFORE the
+    join — the standard set-similarity-join df-cap, computed skew-safely
+    (partial-agg count + broadcast anti-join, see ``_df_cap``). Similarity
+    then means "Jaccard over sub-ubiquitous grams" (hot grams carry no
+    discriminative signal anyway); each per-gram join group shrinks from
+    O(df²) to O(max_df²). The SQL oracle applies the identical cap, so
+    parity holds exactly.
+    """
+    grams = _doc_grams(df, id_col, text_col, k=k)
+    if max_df is not None:
+        grams = _df_cap(grams, max_df=max_df)
+    return _jaccard_pairs_from_grams(grams, threshold=threshold)
+
+
 def ngram_jaccard_dedupe(
     df: DataFrame,
     id_col: str,
@@ -370,11 +404,18 @@ def ngram_jaccard_dedupe(
 
     Byte-identical texts are pre-collapsed into super-nodes before the
     set-similarity join (a giant exact-dup group would otherwise emit
-    O(m²) Jaccard-1 pairs). Lossless: identical text ⇒ identical gram set
-    ⇒ Jaccard 1 ⇒ same cluster, and labels are unchanged (component label
-    = min id; each group rep is its group min, so min-over-reps equals
-    min-over-members). The DuckDB oracle twin computes the uncollapsed
-    closure and matches exactly.
+    O(m²) Jaccard-1 pairs). The collapse preserves the UNCOLLAPSED
+    semantics exactly — what the DuckDB oracle twin computes:
+
+    * the ``max_df`` cap counts df weighted by group size (df = number of
+      DOCUMENTS containing the gram, not distinct texts), so the surviving
+      gram set per text matches the uncollapsed run;
+    * an exact group only clusters through the n ≥ 2 rule if its text has
+      at least one surviving gram — identical texts shorter than ``k``
+      tokens (or whose grams were all df-capped) produce no Jaccard pair
+      in the uncollapsed closure either, so they stay null;
+    * labels are unchanged: component label = min id, and each group rep
+      is its group min, so min-over-reps equals min-over-members.
     """
     keyed = df.select(
         F.col(id_col).alias("id"),
@@ -388,17 +429,26 @@ def ngram_jaccard_dedupe(
         groups.select(F.col("_tkey"), F.col("rep").alias("id")),
         ["_tkey", "id"],
     )
-    edges = ngram_jaccard_pairs(
-        rep_rows, "id", "_text", k=k, threshold=threshold, max_df=max_df
-    )
+    # persist: the gram table feeds the df-cap count, both sides of the
+    # inverted-index join, the per-doc sizes AND the has-gram gate — five
+    # scans; without the cache the explode+window+distinct chain re-executes
+    # in every job that touches one (CC's edge checkpoint + the final join).
+    grams = _doc_grams(rep_rows, "id", "_text", k=k).persist()
+    if max_df is not None:
+        weights = groups.select(F.col("rep").alias("id"), F.col("n").alias("w"))
+        grams = _df_cap(grams, max_df=max_df, weights=weights)
+    edges = _jaccard_pairs_from_grams(grams, threshold=threshold)
     comp = connected_components(edges)
-    rep_cluster = groups.join(
-        comp.withColumnRenamed("file_id", "rep"), "rep", "left"
-    ).select(
-        "_tkey",
-        F.when(F.col("component").isNotNull(), F.col("component"))
-        .when(F.col("n") >= 2, F.col("rep"))
-        .alias("cluster_id"),
+    has_gram = grams.select("id").distinct().withColumn("_hg", F.lit(True))
+    rep_cluster = (
+        groups.join(comp.withColumnRenamed("file_id", "rep"), "rep", "left")
+        .join(has_gram.withColumnRenamed("id", "rep"), "rep", "left")
+        .select(
+            "_tkey",
+            F.when(F.col("component").isNotNull(), F.col("component"))
+            .when((F.col("n") >= 2) & F.col("_hg"), F.col("rep"))
+            .alias("cluster_id"),
+        )
     )
     return keyed.join(rep_cluster, "_tkey", "left").select("id", "cluster_id")
 

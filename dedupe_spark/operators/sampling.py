@@ -57,6 +57,12 @@ def deterministic_sample(
     across runs, partitionings, and cluster sizes."""
     if not (0 < rate <= 1):
         raise ValueError("rate must be in (0, 1]")
+    if rate >= 1.0:
+        # rate 1.0 would format the cutoff as the 5-char '10000', which
+        # compares lexicographically BELOW most 4-hex keys — a 100% sample
+        # would silently return ~1/16 of the rows. A full sample is the
+        # identity.
+        return df
     cutoff = format(int(rate * 65536), "04x")
     return df.filter(_hash_key(id_col) < cutoff)
 

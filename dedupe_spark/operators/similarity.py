@@ -179,15 +179,20 @@ def _lsh_dup_pairs(
     *,
     n_planes: int = 8,
     n_tables: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed near-dup pairs via hyperplane-LSH bucketing — the scale
     tier of ``embedding_dup_pairs``: no driver collect, no cross join; the
     candidate join is a hash equi-join on (table, signature) and the exact
     cosine reranks candidates. Recall is probabilistic: for cos ≥ 0.95 the
     defaults give ≥ 0.998 per-pair candidate probability
-    (1 − (1 − (1 − θ/π)^8)^12 with θ = arccos(0.95) ≈ 18°)."""
-    head = df.select(vec_col).head()
-    dim = len(head[0]) if head else 0
+    (1 − (1 − (1 − θ/π)^8)^12 with θ = arccos(0.95) ≈ 18°).
+
+    ``dim`` (vector width) is taken from the caller when known — resolving
+    it here costs a Spark job (``head``) just to measure one array."""
+    if dim is None:
+        head = df.select(vec_col).head()
+        dim = len(head[0]) if head else 0
     if dim == 0:
         return df.sparkSession.createDataFrame(
             [], f"id1 {df.schema[id_col].dataType.simpleString()}, "
@@ -228,6 +233,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_broadcast_rows: int = 2_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """All (id1 < id2) pairs with cosine ≥ threshold.
 
@@ -238,8 +244,11 @@ def embedding_dup_pairs(
       computes a (batch × corpus) BLAS matmul inside ``mapInPandas`` and
       emits only above-threshold pairs with ``id1 < id2`` (the reference's
       triangular ``j > i``, duplicate_detector.py:76). O(n²) flops, zero
-      shuffled pairs. The broadcast is GUARDED: ~1 GB ≈ 2M vectors at
-      dim 64 — never an unbounded driver collect.
+      shuffled pairs. The collect is GUARDED and Arrow-native: the corpus
+      lands as flat Arrow buffers reshaped straight into the numpy matrix
+      (~1 GB ≈ 2M float64 vectors at dim 64), never as per-row Python
+      ``Row`` objects whose interpreter overhead would OOM the driver an
+      order of magnitude earlier.
     * **LSH tier** (above the guard): hyperplane-signature equi-join +
       exact cosine rerank (``_lsh_dup_pairs``) — fully distributed, recall
       ≥ 0.998 at the 0.95 default threshold.
@@ -248,16 +257,22 @@ def embedding_dup_pairs(
 
     n = df.count()
     if n > max_broadcast_rows:
-        return _lsh_dup_pairs(df, id_col, vec_col, threshold)
+        return _lsh_dup_pairs(df, id_col, vec_col, threshold, dim=dim)
     if n == 0:
         id_t = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id1 {id_t}, id2 {id_t}, cos double"
         )
 
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows])
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    # Arrow collect: one contiguous values buffer + offsets, zero Row objects
+    tbl = df.select(F.col(id_col), F.col(vec_col)).toArrow()
+    ids = np.asarray(tbl.column(0).to_numpy(zero_copy_only=False))
+    vec_arr = tbl.column(1).combine_chunks()
+    mat = np.array(
+        vec_arr.flatten().to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+        copy=True,  # Arrow buffers are read-only; we normalize in place
+    ).reshape(len(ids), -1)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sc = df.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
@@ -366,9 +381,22 @@ def ivf_topk(
     sample = (
         deterministic_sample(corpus, id_col, rate=rate) if rate < 1.0 else corpus
     )
+    s_tbl = sample.select(vec_col).toArrow()
+    s_vecs = s_tbl.column(0).combine_chunks()
+    n_train = len(s_vecs)
+    if n == 0 or n_train == 0:
+        # empty corpus, or the md5-cutoff sample rounded down to zero rows —
+        # nothing to train on, nothing to return (mirror _lsh_dup_pairs'
+        # empty-schema path instead of crashing in the axis=1 norm)
+        id_t = queries.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"q_id {id_t}, n_id {id_t}, cos double, rank int"
+        )
     train = np.array(
-        [r[0] for r in sample.select(vec_col).collect()], dtype=np.float64
-    )
+        s_vecs.flatten().to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+        copy=True,  # Arrow buffers are read-only; we normalize in place
+    ).reshape(n_train, -1)
     train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cells = min(n_cells, len(train))
@@ -395,10 +423,19 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1)[:, : min(n_probe, cent.shape[0])]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
+    @pandas_udf(T.IntegerType())
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        # corpus side needs only the single nearest cell — an argmax, not
+        # an n_probe-length sorted array per row
+        cent = b_cent.value
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype("int32"))
+
     c = _as_double(
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
         "n_vec",
-    ).withColumn("cell", probe_cells(F.col("n_vec")).getItem(0))
+    ).withColumn("cell", assign_cell(F.col("n_vec")))
     q = _as_double(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
         "q_vec",
