@@ -52,6 +52,10 @@ class PipelineConfig:
     # --- clustering -------------------------------------------------------
     min_cluster_size: int = 2   # groups require ≥2 members (duplicate_detector.py:88-89)
     cc_max_iterations: int = 50
+    # representative ranking: "default" = format-priority tuple (W4);
+    # "quality" = weighted text-quality score (W5, the reference's
+    # compare_images alternative, quality_assessor.py:114-136)
+    rep_order: str = "default"
 
     # --- run control ------------------------------------------------------
     sample: int | None = None   # row-limit debugging (dedupe.py:33-34)
@@ -67,3 +71,5 @@ class PipelineConfig:
             raise ValueError("require_agreement must be in [1, 3]")
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+        if self.rep_order not in ("default", "quality"):
+            raise ValueError("rep_order must be 'default' or 'quality'")

@@ -21,7 +21,10 @@ from dedupe_spark.operators.blocking import (
     lsh_buckets,
 )
 from dedupe_spark.operators.cc import connected_components
-from dedupe_spark.operators.representative import with_representative
+from dedupe_spark.operators.representative import (
+    order_cols_for,
+    with_representative,
+)
 from dedupe_spark.operators.scoring import score_pairs
 
 
@@ -109,7 +112,7 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     )
 
     out = fp.join(assignment, "file_id", "left")
-    out = with_representative(out)
+    out = with_representative(out, order_cols=order_cols_for(cfg.rep_order))
     # contract: clusters need >= min_cluster_size members (reference
     # duplicate_detector.py:88-89); CC + exact tiers guarantee >=2 already,
     # singletons carry null cluster_id.

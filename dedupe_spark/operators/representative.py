@@ -36,6 +36,34 @@ def lang_score_col(lang: str = "lang") -> Column:
     return expr
 
 
+def quality_order_cols(content_col: str = "content") -> list[Column]:
+    """Quality-score representative ordering (reference W5) — the
+    ``compare_images`` alternative (quality_assessor.py:114-136): rank
+    cluster members by the weighted text-quality score instead of the
+    format-priority tuple. Ties fall back to size then file_id so the
+    choice stays deterministic."""
+    from dedupe_spark.operators.textstats import quality_score_col
+
+    return [
+        quality_score_col(F.col(content_col)).desc(),
+        F.col("size").desc(),
+        F.col("file_id").asc(),
+    ]
+
+
+def order_cols_for(rep_order: str, *, content_col: str = "content") -> list[Column] | None:
+    """Resolve a config/CLI ``rep_order`` name to window order columns.
+
+    ``default`` → None (the format-priority tuple inside
+    ``with_representative``); ``quality`` → ``quality_order_cols``.
+    """
+    if rep_order == "default":
+        return None
+    if rep_order == "quality":
+        return quality_order_cols(content_col)
+    raise ValueError(f"unknown rep_order {rep_order!r}; expected default|quality")
+
+
 def with_representative(
     clustered: DataFrame,
     *,

@@ -49,6 +49,34 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("bpe_tokens", F.regexp_count(c, F.lit(BPE_TOKEN_RE)))
 
 
+def quality_score_col(text: Column) -> Column:
+    """The weighted quality score as a single Column expression — reusable
+    outside ``with_quality_score`` (e.g. quality-ordered representative
+    selection, the reference's ``compare_images`` alternative,
+    quality_assessor.py:114-136). Same formula as ``with_quality_score``.
+    """
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    distinct_toks = F.array_distinct(toks)
+    stop_hits = F.size(F.array_intersect(distinct_toks, F.lit(LANG_STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    length_score = F.least(F.lit(100.0), F.log10(F.greatest(n_chars, F.lit(1))) / 4 * 100)
+    word_score = F.least(F.lit(100.0), F.log10(n_words + F.lit(1)) / 3 * 100)
+    stop_ratio = stop_hits / F.greatest(F.size(distinct_toks), F.lit(1))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            0.35 * length_score
+            + 0.35 * word_score
+            + 30 * stop_ratio
+            - 50 * punct_ratio,
+        ),
+        4,
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + weighted overall score.
 
@@ -80,19 +108,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("word_score", F.round(word_score, 4))
         .withColumn("stopword_ratio", F.round(stop_ratio, 4))
         .withColumn("punct_ratio", F.round(punct_ratio, 4))
-        .withColumn(
-            "quality_score",
-            F.round(
-                F.greatest(
-                    F.lit(0.0),
-                    0.35 * length_score
-                    + 0.35 * word_score
-                    + 30 * stop_ratio
-                    - 50 * punct_ratio,
-                ),
-                4,
-            ),
-        )
+        .withColumn("quality_score", quality_score_col(c))
     )
 
 

@@ -1207,6 +1207,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``n_probe == n_cells`` — every cell probed, so the search is
+    EXACT and the brute-force cosine SQL (``SQL_KNN_COSINE``) is a valid
+    value-level oracle. This converts the IVF machinery (bounded
+    deterministic training sample, Lloyd iterations, argmax cell
+    assignment, cell equi-join, rerank window) from a rows-only check into
+    a full hash-matched driver query; ``q_ivf_topk`` keeps exercising the
+    approximate n_probe < n_cells path."""
+    from dedupe_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_cells=8, n_probe=8
+    ).orderBy("q_id", "rank")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over mapInPandas with the
     deterministic fake decoder (rows-only; codecs stubbed per environment).
@@ -1303,6 +1319,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+        "ivf_full_probe": (q_ivf_full_probe, SQL_KNN_COSINE),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
         "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
         "hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),

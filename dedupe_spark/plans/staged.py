@@ -41,7 +41,10 @@ from dedupe_spark.operators.blocking import (
     lsh_buckets,
 )
 from dedupe_spark.operators.cc import connected_components
-from dedupe_spark.operators.representative import with_representative
+from dedupe_spark.operators.representative import (
+    order_cols_for,
+    with_representative,
+)
 from dedupe_spark.operators.scoring import score_pairs
 from dedupe_spark.sources.catalog import Catalog
 
@@ -203,7 +206,9 @@ class StagedPipeline:
             .select("file_id", "cluster_id")
         )
         out = fp.join(assignment, "file_id", "left")
-        return with_representative(out)
+        return with_representative(
+            out, order_cols=order_cols_for(self.cfg.rep_order)
+        )
 
     # -- orchestration -----------------------------------------------------
 

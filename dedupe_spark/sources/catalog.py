@@ -129,5 +129,17 @@ class Catalog:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
     def rows(self, table: str) -> int | None:
+        """Committed row count, or None if the table was never committed.
+
+        The Iceberg branch has no parquet manifest — count the live table
+        instead (Iceberg commits are atomic, so exists ⇒ committed). This
+        keeps the streaming-ingest idempotence markers (``rows(...) is not
+        None``) and incremental_update's before-counts working identically
+        under ``USE_ICEBERG=1``.
+        """
+        if self.iceberg:
+            if not self.exists(table):
+                return None
+            return self.read(table).count()
         entry = self._manifest().get(table)
         return None if entry is None else entry["rows"]

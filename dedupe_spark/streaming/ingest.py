@@ -13,9 +13,17 @@ continues the dedup from that checkpoint exactly as if the fingerprints
 had been computed in batch.
 
 Exactly-once note: ``foreachBatch`` + a plain parquet append is
-at-least-once on batch retry. The batch id is recorded per append in the
-snapshot manifest so a retried batch is detected and skipped (idempotent
-appends); with USE_ICEBERG=1 the same hook would be an atomic MERGE.
+at-least-once on batch retry. Two markers per batch close the window:
+``pending`` is committed BEFORE the append and ``done`` after, so a retry
+sees three cases — ``done`` present: batch fully committed, skip;
+``pending`` present but not ``done``: the previous attempt may have
+appended some or all rows before crashing, so the batch is anti-joined
+against the table on ``file_id`` before re-appending (repair cost paid
+only on this crash path, never per batch); neither present: fresh batch,
+plain append. Net effect is exactly-once on ``file_id``. (A file
+re-ingested with identical (repo, path, commit) in a LATER batch has the
+same file_id by construction and is a duplicate either way.) With
+USE_ICEBERG=1 the same hook would be an atomic MERGE.
 """
 
 from __future__ import annotations
@@ -59,11 +67,22 @@ def ingest_files_stream(
     seen_key = f"_ingested_batches/{cfg.run_id}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        done = catalog.rows(f"{seen_key}/{batch_id}")
-        if done is not None:  # retried micro-batch — already committed
-            return
+        if catalog.rows(f"{seen_key}/{batch_id}") is not None:
+            return  # retried micro-batch — already fully committed
+        pending_key = f"{seen_key}/{batch_id}_pending"
+        crashed_midway = catalog.rows(pending_key) is not None
+        if not crashed_midway:
+            # commit the pending marker BEFORE the append: its presence on
+            # a retry means "rows may already be in the table"
+            catalog.write(
+                batch_df.sparkSession.range(1).toDF("one"), pending_key
+            )
+        elif catalog.exists(table):
+            # previous attempt died between append and done-marker — drop
+            # whatever it already landed (exactly-once on file_id)
+            existing = catalog.read(table).select("file_id")
+            batch_df = batch_df.join(existing, "file_id", "left_anti")
         catalog.append(batch_df, table)
-        # tiny marker table makes the append idempotent across retries
         catalog.write(
             batch_df.sparkSession.range(1).toDF("one"), f"{seen_key}/{batch_id}"
         )

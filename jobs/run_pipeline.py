@@ -77,6 +77,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--bands", type=int, default=32,
                    help="LSH bands b; s-curve threshold ~ (1/b)^(1/r)")
     p.add_argument("--rows", type=int, default=4, help="LSH rows per band r")
+    p.add_argument("--rep-order", default="default",
+                   choices=["default", "quality"],
+                   help="representative ranking: 'default' = format-priority "
+                        "tuple (reference W4); 'quality' = weighted "
+                        "text-quality score (W5, the compare_images "
+                        "alternative, quality_assessor.py:114-136)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -101,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         lsh_bands=args.bands,
         lsh_rows=args.rows,
         sample=args.sample,
+        rep_order=args.rep_order,
         run_id=args.run_id,
         warehouse=args.warehouse,
         langs=args.langs.split(",") if args.langs else [],
@@ -161,7 +168,24 @@ def main(argv: list[str] | None = None) -> int:
         F.coalesce(F.max("n"), F.lit(0)).alias("largest"),
         F.coalesce(F.sum("saved"), F.lit(0)).alias("space_saved"),
     ).first()
-    errors = result.filter(F.col("error").isNotNull()).count()
+    # error artifact — parity with the reference's timestamped error log +
+    # console summary (dedupe.py:147-182): the rows a user would triage land
+    # in a {run_id}/errors warehouse table (file identity + error type),
+    # and the report carries the type frequencies. Written even on
+    # --dry-run/--analyze: it is a report artifact, not output data.
+    err_rows = result.filter(F.col("error").isNotNull()).select(
+        "file_id", "repo", "path", "error"
+    )
+    errors = pipe.catalog.write(err_rows, f"{args.run_id}/errors")
+    top_errors = {
+        r["error"]: r["n"]
+        for r in pipe.catalog.read(f"{args.run_id}/errors")
+        .groupBy("error")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "error")
+        .limit(5)
+        .collect()
+    }
     report = {
         "run_id": args.run_id,
         "stages_ran": ran,
@@ -171,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
         "largest_group": stats["largest"],
         "space_saved_bytes": stats["space_saved"],
         "error_rows": errors,
+        "top_errors": top_errors,
         "dry_run": cfg.dry_run,
         "analyze": args.analyze,
     }

@@ -92,6 +92,72 @@ def test_output_writes_survivors(docs_parquet, capsys, tmp_path):
     )
 
 
+def test_error_artifact_written_and_counted(capsys, tmp_path, spark):
+    """Error parity with the reference's error log (dedupe.py:147-182): a
+    run over a corpus with degenerate rows writes a {run_id}/errors table
+    whose rows match the report's error count and type frequencies."""
+    src = str(tmp_path / "docs.parquet")
+    good = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    bad = spark.createDataFrame(
+        [(9001, "", "en", "synthetic"), (9002, "   ", "en", "synthetic")],
+        "doc_id long, text string, lang string, source string",
+    )
+    good.select("doc_id", "text", "lang", "source").unionByName(bad).write.parquet(src)
+
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "--input", src, "--documents", "--warehouse", wh,
+        "--run-id", "cli5", "--analyze", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    assert rep["error_rows"] == 2
+    assert sum(rep["top_errors"].values()) == 2
+    err_tbl = spark.read.parquet(os.path.join(wh, "cli5", "errors"))
+    assert err_tbl.count() == 2
+    assert set(err_tbl.columns) == {"file_id", "repo", "path", "error"}
+    got_types = {r["error"] for r in err_tbl.select("error").distinct().collect()}
+    assert got_types == set(rep["top_errors"])
+
+
+def test_rep_order_quality_selects_highest_quality_member(capsys, tmp_path, spark):
+    """--rep-order quality routes W5: within a duplicate cluster the
+    representative is the member with the highest text-quality score."""
+    import pyspark.sql.functions as F
+
+    from dedupe_spark.operators.textstats import quality_score_col
+
+    src = str(tmp_path / "docs.parquet")
+    base = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "with many common words of the usual kind in a long sentence")
+    rows = [
+        (1, base, "en", "s"),
+        (2, base + " !!!! ???? @@@@ ####", "en", "s"),   # punct-penalized copy
+        (3, base + " extended with further prose to raise the value of "
+            "the length and word scores in the quality formula", "en", "s"),
+        (4, "unrelated tiny", "en", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "--input", src, "--documents", "--warehouse", wh, "--run-id", "cli6",
+        "--analyze", "--quiet", "--rep-order", "quality", "--jaccard", "0.5",
+    ])
+    assert rc == 0
+    res = spark.read.parquet(os.path.join(wh, "cli6", "assignment"))
+    clustered = res.filter(F.col("cluster_id").isNotNull()).withColumn(
+        "q", quality_score_col(F.col("content"))
+    )
+    got = clustered.select("path", "q", "is_representative").collect()
+    assert len(got) >= 2  # the near-family clustered
+    best = max(got, key=lambda r: (r["q"], r["path"]))
+    reps = [r for r in got if r["is_representative"]]
+    assert len(reps) == 1 and reps[0]["path"] == best["path"], got
+
+
 def test_update_mode_appends_batch(docs_parquet, capsys, tmp_path, spark):
     """--update appends the input as a new batch to an existing run."""
     wh = str(tmp_path / "wh")

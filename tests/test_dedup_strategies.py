@@ -147,6 +147,15 @@ def test_deterministic_split_and_sample(spark):
         deterministic_sample(docs, "doc_id", rate=0.0)
 
 
+def test_deterministic_sample_rate_one_is_identity(spark):
+    """rate=1.0 must return every row — the 4-hex-char cutoff would format
+    as the 5-char '10000' and lexicographically drop ~94% of keys."""
+    from dedupe_spark.operators.sampling import deterministic_sample
+
+    docs = spark.range(0, 500).toDF("doc_id")
+    assert deterministic_sample(docs, "doc_id", rate=1.0).count() == 500
+
+
 def test_simhash_pairs_large_threshold_fallback(spark):
     """t ≥ 15 routes to single-block keying; recall must still be exact."""
     import itertools
@@ -201,6 +210,54 @@ def test_ngram_dedupe_collapses_exact_groups(spark):
     assert {out[i] for i in range(30)} == {0}
     assert out[30] == 0
     assert all(out[40 + i] is None or out[40 + i] >= 40 for i in range(4))
+
+
+def test_ngram_dedupe_zero_gram_duplicates_stay_null(spark):
+    """Byte-identical texts SHORTER than the gram width produce no gram, so
+    the uncollapsed closure (and the DuckDB oracle) gives them no pair and
+    a null cluster — the exact-group n>=2 shortcut must not cluster them.
+    Identical texts WITH grams still cluster through the shortcut."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_dedupe
+
+    rows = [
+        (0, "solo"), (1, "solo"),              # 1 token < k=2 → no gram
+        (2, "alpha beta gamma"), (3, "alpha beta gamma"),  # grams → cluster
+        (4, "unrelated totally different words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in ngram_jaccard_dedupe(df, "doc_id", "text", k=2, threshold=0.5).collect()
+    }
+    assert out[0] is None and out[1] is None
+    assert out[2] == 2 and out[3] == 2
+    assert out[4] is None
+
+
+def test_ngram_dedupe_weighted_df_cap_matches_uncollapsed(spark):
+    """max_df counts DOCUMENTS, not distinct texts: a gram carried by 6
+    copies of one text plus 1 other doc has df=7 > cap 5 and must be
+    dropped, even though only 2 distinct texts contain it."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_dedupe
+
+    hot = "shared common phrase"          # grams: "shared common", "common phrase"
+    rows = [(i, hot) for i in range(6)]   # 6 copies → weighted df 6 per gram
+    rows.append((10, hot + " tailword"))  # 7th doc carrying the hot grams
+    rows += [(20, "aa bb cc dd"), (21, "aa bb cc ee")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in ngram_jaccard_dedupe(
+            df, "doc_id", "text", k=2, threshold=0.3, max_df=5
+        ).collect()
+    }
+    # the hot grams are df-capped away for EVERY doc: the exact copies keep
+    # no gram → null (matches the uncollapsed oracle); doc 10 keeps only
+    # "phrase tailword" → no partner → null
+    assert all(out[i] is None for i in range(6)), out
+    assert out[10] is None
+    # the unaffected docs still pair on their sub-cap grams
+    assert out[20] == 20 and out[21] == 20
 
 
 def test_cc_long_chain_converges_within_cap(spark):

@@ -100,6 +100,33 @@ def test_row_dedupe_prunes_to_needed_columns(spark):
     assert "l_suppkey" in read and "l_extendedprice" not in read
 
 
+def test_lsh_bucket_sizing_is_partial_agg_not_window(spark):
+    """Bucket sizes must come from a groupBy (map-side partial agg) +
+    broadcast join-back of the hot list — a count window over the raw
+    bucket key would shuffle every occurrence of a degenerate hot bucket
+    into ONE task before salting can split it."""
+    from dedupe_spark.operators.blocking import lsh_buckets
+
+    fp = spark.createDataFrame(
+        [(f"f{i}", i, [i % 3, (i + 1) % 3]) for i in range(20)],
+        "file_id string, simhash long, band_keys array<long>",
+    )
+    plan = _plan(lsh_buckets(fp, max_bucket_size=4, bucket_salt=4))
+    assert "Window" not in plan, plan[:900]
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ngram_df_cap_is_partial_agg_not_window(spark):
+    """The df-cap must never window-partition by gram (hot stopword grams
+    are exactly the rows that would pile into one task); the only windows
+    allowed are the per-doc lead() shingle windows."""
+    plan = _plan(registry()["ngram_jaccard_pairs"][0](spark, SF))
+    assert "windowspecdefinition(gram" not in plan, plan[:900]
+    # the cap is an aggregation + broadcast anti join-back
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_scan_warnings_total_is_broadcast_not_window(spark):
     """The corpus total must reach rows via a broadcast join of a 1-row
     aggregate — an empty-partitionBy window would serialize the table."""

@@ -121,6 +121,17 @@ def test_dup_pairs_empty_corpus(spark):
     assert embedding_dup_pairs(empty).count() == 0
 
 
+def test_ivf_empty_corpus_returns_empty(spark):
+    """Empty corpus (or an empty training sample) must yield an empty
+    result, not an axis-1 norm crash on a 0-d array."""
+    from dedupe_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = ivf_topk(empty, empty, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"q_id", "n_id", "cos", "rank"}
+
+
 def test_ivf_recall_vs_bruteforce(vectors):
     from dedupe_spark.operators.similarity import ivf_topk
 

@@ -72,6 +72,22 @@ def test_write_output_partitions_by_lang(spark, tmp_path):
     assert spark.read.parquet(d).count() == 3
 
 
+def test_write_output_partition_prunes_on_readback(spark, tmp_path):
+    """S7 round-trip: a lang-filtered scan of write_output's layout must
+    partition-prune — the physical plan carries the lang partition filter
+    and the scan touches only the matching partition directory's files."""
+    d = str(tmp_path / "out")
+    write_output(spark.createDataFrame(ROWS, FILES_SCHEMA), d)
+    q = spark.read.parquet(d).filter(F.col("lang") == "python")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters")[1][:160]
+    assert "lang" in part, plan[:800]
+    # prove the pruning physically: only files under lang=python are read
+    pruned = q.withColumn("_f", F.input_file_name()).select("_f").distinct().collect()
+    assert all("lang=python" in r["_f"] for r in pruned), pruned
+    assert q.count() == 2
+
+
 def test_catalog_commit_semantics(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     df = spark.createDataFrame(ROWS, FILES_SCHEMA)

@@ -224,3 +224,40 @@ def test_incremental_ingest_feeds_staged_pipeline(spark, corpus, tmp_path):
         for r in pipe2.result().select("file_id", "cluster_id").collect()
     }
     assert stream_clusters == batch_clusters
+
+
+def test_ingest_retry_after_partial_append_is_exactly_once(spark, corpus, tmp_path):
+    """Crash window between append and done-marker: simulate an attempt that
+    landed PART of batch 0 and committed the pending marker but died before
+    the done marker. The replay must anti-join repair — every file_id ends
+    up exactly once, never duplicated, never dropped."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.fixtures import files_dataframe
+    from dedupe_spark.functions.fingerprint import with_fingerprints
+    from dedupe_spark.sources.catalog import Catalog
+    from dedupe_spark.streaming.ingest import ingest_files_stream
+
+    wh, src = str(tmp_path / "wh"), str(tmp_path / "files")
+    cfg = PipelineConfig(run_id="crash1", warehouse=wh)
+    files = files_dataframe(spark, corpus).cache()
+    files.write.parquet(src)
+    n = files.count()
+
+    cat = Catalog(spark, wh)
+    fp = with_fingerprints(
+        spark.read.parquet(src),
+        shingle_k=cfg.shingle_k,
+        num_perm=cfg.num_perm,
+        bands=cfg.lsh_bands,
+        rows=cfg.lsh_rows,
+    )
+    cat.append(fp.limit(n // 2), "crash1/fingerprints")      # partial rows
+    cat.write(spark.range(1).toDF("one"), "_ingested_batches/crash1/0_pending")
+    # (no done marker — exactly the crash state)
+
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(180)
+
+    tbl = cat.read("crash1/fingerprints")
+    assert tbl.count() == n
+    assert tbl.select("file_id").distinct().count() == n
