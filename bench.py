@@ -31,11 +31,20 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min-of-N: this VM shows 13-23% hypervisor-steal windows that
+        # inflate identical runs 1.5-2x (BENCH/BASELINE.md methodology
+        # notes); the minimum over repeats measures the engine, not the
+        # noisy neighbor.
+        best = None
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # Warm-up (untimed): fork the Python UDF workers, initialize Arrow, and
     # JIT the first shuffle once, so per-query timings measure the engine's

@@ -96,16 +96,27 @@ def _propagate(e: DataFrame, max_iterations: int) -> DataFrame:
     the same action that materializes the round's checkpoint (one Spark
     job per round). A repeat signature on a different set needs an exact
     64-bit xor + count collision (~2^-64)."""
+    obs0 = Observation()
     edges = (
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("sig"),
+        )
         .localCheckpoint(eager=True)
     )
-    if edges.isEmpty():
+    # seeding prev_sig with the INPUT set's signature means an edge set that
+    # is already star-shaped (every family reduced to pairs/stars — the
+    # common case for threshold near-dup edges) converges after ONE round
+    # instead of needing a second round to re-observe the same set.
+    n0 = obs0.get["n"]
+    if n0 == 0:
         return edges.select(F.col("a").alias("vid"), F.col("b").alias("component"))
 
-    prev_sig = None
+    prev_sig = (n0, obs0.get["sig"])
     converged = False
     for _it in range(max_iterations):
         # persist the large-star output: small-star's min/rewire branches
