@@ -119,11 +119,7 @@ def _propagate(e: DataFrame, max_iterations: int) -> DataFrame:
     prev_sig = (n0, obs0.get["sig"])
     converged = False
     for _it in range(max_iterations):
-        # persist the large-star output: small-star's min/rewire branches
-        # would otherwise re-execute the large-star groupBy+join once per
-        # scan (measured as the bulk of the r2 per-round cost). The cache
-        # populates during the same checkpoint job — no extra action.
-        large = _large_star(edges).persist()
+        large = _large_star(edges)
         new_edges = _small_star(large).distinct()
         obs = Observation()
         new_edges = new_edges.observe(
@@ -132,7 +128,6 @@ def _propagate(e: DataFrame, max_iterations: int) -> DataFrame:
             F.bit_xor(F.xxhash64("a", "b")).alias("sig"),
         )
         edges = new_edges.localCheckpoint(eager=True)
-        large.unpersist()
         sig = (obs.get["n"], obs.get["sig"])
         if sig == prev_sig:
             converged = True

@@ -34,7 +34,10 @@ from dedupe_spark.config import PipelineConfig
 from dedupe_spark.functions.fingerprint import with_fingerprints
 from dedupe_spark.operators.blocking import exact_groups, lsh_buckets
 from dedupe_spark.operators.cc import connected_components
-from dedupe_spark.operators.representative import with_representative
+from dedupe_spark.operators.representative import (
+    order_cols_for,
+    with_representative,
+)
 from dedupe_spark.operators.scoring import score_pairs
 from dedupe_spark.plans.staged import StagedPipeline
 from dedupe_spark.sources.catalog import Catalog
@@ -159,6 +162,9 @@ def incremental_update(
         )
         .select("file_id", "cluster_id")
     )
-    out = with_representative(fp_all.join(assignment, "file_id", "left"))
+    out = with_representative(
+        fp_all.join(assignment, "file_id", "left"),
+        order_cols=order_cols_for(cfg.rep_order),
+    )
     counts["assignment"] = cat.write(out, pipe._tbl("assignment"))
     return counts
