@@ -147,13 +147,15 @@ def main() -> None:
     p.add_argument("--expand", type=int, default=20)
     p.add_argument("--all", action="store_true")
     p.add_argument("--out", default=None)
-    # N and 4N parallelism. Default 2->8: this sandbox VM reports 32 vCPUs
-    # but `top` shows 13-23% hypervisor steal under sustained load — the
-    # host does not back 32 physical cores, so an 8->32 measurement is
-    # bounded by the host, not by the job (measured: every stage, including
-    # the embarrassingly-parallel fingerprint UDF, capped at ~1.3-1.6x).
-    # 2->8 measures the job's own scaling in a regime the hardware delivers.
-    p.add_argument("--n", type=int, default=2, help="low parallelism (N)")
+    # N and 4N parallelism. Default 1->4: the sandbox VM reports 32 vCPUs
+    # but does not physically back them (13-23% hypervisor steal under
+    # sustained load; identical 8-thread runs swing +-15% between adjacent
+    # hours) — so 8->32 measures the host, and even the 8-thread leg of
+    # 2->8 is polluted by oversubscription noise. 1->4 keeps BOTH legs
+    # safely inside the host's real capacity, so the ratio reflects the
+    # job's own scaling. Use --n 2 for the 2->8 pair (also reported in
+    # BENCH/BASELINE.md for transparency).
+    p.add_argument("--n", type=int, default=1, help="low parallelism (N)")
     args = p.parse_args()
 
     if not args.all:
