@@ -1160,26 +1160,170 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible operators (rows-only checks: pandas-UDF fingerprints,
-# iterative CC, LSH ANN, mapInPandas media features)
+# fingerprint-materializing oracles: the pandas-UDF fingerprints cannot be
+# recomputed in SQL, but the engine can materialize its OWN fingerprints at
+# the driver's correctness scale (sf0.01, 500 rows) — then DuckDB
+# brute-forces the complete match closure (bit_count(xor) Hamming +
+# minhash-lane equality + recursive-CTE connected components) and the
+# cluster assignments hash-match end to end. This checks exactly what the
+# rows-only gate could not: blocking RECALL (the banded/LSH candidate
+# generation surfaces every true match on this fixture) and the CC +
+# label-assignment path, at value level. The fingerprint math itself is
+# pinned separately (sha-invariant + property tests + the per-doc/batched
+# equivalence test). Same pattern as ``ivf_full_probe``.
 # ---------------------------------------------------------------------------
+
+_ORACLE_FP_DIR = "/root/repo/dist/oracle_fp"
+
+
+def _materialize_for_oracle(df: DataFrame, name: str) -> None:
+    """Write engine-computed fingerprints to the fixed path the static
+    oracle SQL reads. Deterministic content (seeded MinHash permutations,
+    fixed SipHash key), so overwriting is idempotent; the sf0.01 output is
+    committed to the repo so the oracle is runnable regardless of whether
+    the driver executes SQL or Spark first."""
+    df.write.mode("overwrite").parquet(f"{_ORACLE_FP_DIR}/{name}")
+
+
+def _is_oracle_sf(sf_dir: str) -> bool:
+    import os
+
+    return os.path.basename(os.path.normpath(sf_dir)) == "sf0.01"
 
 
 def q_minhash_lsh_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH + CC near-dedup over documents (pandas-UDF
-    fingerprints + iterative CC → rows-only check)."""
+    """Full MinHash-LSH + CC near-dedup over documents.
+
+    At sf0.01 the engine's fingerprints (the exact frame
+    ``minhash_lsh_dedupe`` computes internally — same wrapping, same
+    deterministic UDF) are materialized for the DuckDB twin, which
+    re-derives the clusters by brute force: exact tier = sha groupBy,
+    near-tier edges = ALL rep pairs with Hamming ≤ 10 AND ≥ 0.7 equal
+    MinHash lanes (consensus 2-of-3 with sha votes impossible between
+    distinct reps), transitive closure via recursive CTE, representative
+    via the (lines·n_tokens, size, file_id) tuple — value-checking LSH
+    blocking recall, degree capping, CC and label assignment end to end."""
+    from dedupe_spark.functions.fingerprint import with_fingerprints
     from dedupe_spark.operators.dedup import minhash_lsh_dedupe
 
     docs = _t(spark, sf_dir, "documents")
+    if _is_oracle_sf(sf_dir):
+        files = docs.select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("text").alias("content"),
+        ).withColumn("repo", F.lit("t")).withColumn("commit", F.lit("0")).withColumn(
+            "lang", F.lit("text")
+        )
+        fp = with_fingerprints(files)
+        _materialize_for_oracle(
+            fp.select(
+                F.col("path").alias("id"),
+                "file_id",
+                "content_sha",
+                "simhash",
+                "minhash_sig",
+                "lines",
+                "n_tokens",
+                "size",
+                "error",
+            ),
+            "minhash",
+        )
     return minhash_lsh_dedupe(docs, "doc_id", "text").orderBy("id")
 
 
+SQL_MINHASH_LSH_DEDUPE = f"""
+WITH RECURSIVE fp AS (
+  SELECT * FROM read_parquet('{_ORACLE_FP_DIR}/minhash/*.parquet')
+), healthy AS (
+  SELECT * FROM fp WHERE error IS NULL
+), eg AS (
+  SELECT content_sha, min(file_id) AS rep, count(*) AS n
+  FROM healthy GROUP BY content_sha
+), reps AS (
+  SELECT h.file_id, h.simhash, h.minhash_sig
+  FROM healthy h JOIN eg ON h.content_sha = eg.content_sha AND h.file_id = eg.rep
+), edges AS (
+  SELECT a.file_id AS id1, b.file_id AS id2
+  FROM reps a JOIN reps b ON a.file_id < b.file_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    AND len(list_filter(range(1, len(a.minhash_sig) + 1),
+                        i -> a.minhash_sig[i] = b.minhash_sig[i]))
+        >= 0.7 * len(a.minhash_sig)
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM edges
+  UNION ALL SELECT id2, id1 FROM edges
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS component FROM reach GROUP BY id
+), assign AS (
+  SELECT f.id, f.file_id, f.lines, f.n_tokens, f.size,
+         CASE WHEN c.component IS NOT NULL THEN c.component
+              WHEN eg.n >= 2 THEN eg.rep END AS cluster_id
+  FROM fp f
+  LEFT JOIN eg ON f.error IS NULL AND f.content_sha = eg.content_sha
+  LEFT JOIN comp c ON c.id = eg.rep
+), ranked AS (
+  SELECT id, cluster_id,
+         row_number() OVER (
+           PARTITION BY coalesce(cluster_id, file_id)
+           ORDER BY lines * n_tokens DESC, size DESC, file_id ASC) AS rn
+  FROM assign
+)
+SELECT id, cluster_id, (rn = 1) AS is_representative FROM ranked
+"""
+
+
 def q_simhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simhash banded-Hamming near-dedup over documents (rows-only)."""
+    """Simhash banded-Hamming near-dedup over documents.
+
+    At sf0.01 the engine's (id, simhash) healthy set — identical values to
+    what ``simhash_dedupe`` computes internally (same deterministic UDF) —
+    is materialized for the DuckDB twin, which brute-forces the complete
+    Hamming-≤6 closure over ALL pairs and clusters via recursive CTE:
+    pigeonhole blocking recall + super-node collapse + CC value-checked.
+    Labels: cluster_id = min member id, so is_representative reduces to
+    ``id = cluster_id`` (singletons: null cluster, rep of themselves)."""
+    from dedupe_spark.functions.fingerprint import make_simhash_udf
     from dedupe_spark.operators.dedup import simhash_dedupe
 
     docs = _t(spark, sf_dir, "documents")
+    if _is_oracle_sf(sf_dir):
+        udf = make_simhash_udf(3)
+        fp = docs.select(
+            F.col("doc_id").cast("string").alias("id"),
+            udf(F.col("text")).alias("_fp"),
+        ).select("id", "_fp.simhash", "_fp.n_tokens")
+        _materialize_for_oracle(
+            fp.filter(F.col("n_tokens") > 0).select("id", "simhash"), "simhash"
+        )
     return simhash_dedupe(docs, "doc_id", "text").orderBy("id")
+
+
+SQL_SIMHASH_DEDUPE = f"""
+WITH RECURSIVE fp AS (
+  SELECT id, simhash FROM read_parquet('{_ORACLE_FP_DIR}/simhash/*.parquet')
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM fp a JOIN fp b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT f.id, c.cluster_id,
+       (c.cluster_id IS NULL OR f.id = c.cluster_id) AS is_representative
+FROM fp f LEFT JOIN comp c ON c.id = f.id
+"""
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,8 +1474,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
         "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-        "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, None),
-        "simhash_dedupe": (q_simhash_dedupe, None),
+        "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, SQL_MINHASH_LSH_DEDUPE),
+        "simhash_dedupe": (q_simhash_dedupe, SQL_SIMHASH_DEDUPE),
         "ann_topk": (q_ann_topk, None),
         "ivf_topk": (q_ivf_topk, None),
         "media_features": (q_media_features, None),
