@@ -436,7 +436,11 @@ def ngram_jaccard_dedupe(
     # inverted-index join, the per-doc sizes AND the has-gram gate — five
     # scans; without the cache the explode+window+distinct chain re-executes
     # in every job that touches one (CC's edge checkpoint + the final join).
-    grams = _doc_grams(rep_rows, "id", "_text", k=k).persist()
+    # Unpersisted below once rep_cluster is materialized — a leaked cache
+    # entry per call would build exactly the unified-pool pressure that
+    # evicted UDF caches at the 1M-file scale (commit d61c87f).
+    gram_cache = _doc_grams(rep_rows, "id", "_text", k=k).persist()
+    grams = gram_cache
     if max_df is not None:
         weights = groups.select(F.col("rep").alias("id"), F.col("n").alias("w"))
         grams = _df_cap(grams, max_df=max_df, weights=weights)
@@ -452,7 +456,12 @@ def ngram_jaccard_dedupe(
             .when((F.col("n") >= 2) & F.col("_hg"), F.col("rep"))
             .alias("cluster_id"),
         )
+        # eager: rep_cluster (one row per distinct text) is the last reader
+        # of the gram cache; materializing it here — a pass the final join
+        # needed anyway — lets the cache be released before returning
+        .localCheckpoint(eager=True)
     )
+    gram_cache.unpersist()
     return keyed.join(rep_cluster, "_tkey", "left").select("id", "cluster_id")
 
 

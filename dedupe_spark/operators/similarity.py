@@ -34,6 +34,34 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _list_column_matrix(vec_arr, n_rows: int, col_name: str) -> np.ndarray:
+    """Arrow list column → (n_rows, dim) float64 matrix, loudly validated.
+
+    ``ListArray.flatten()`` silently DROPS null rows, so a corpus with any
+    null embedding would either crash in the reshape or — when the sizes
+    happen to divide — silently misalign ids with vectors. Ragged rows with
+    a divisible total would misalign the same way. Both are rejected here
+    with the offending column named; the copy is required because Arrow
+    buffers are read-only and callers normalize in place.
+    """
+    if vec_arr.null_count:
+        raise ValueError(
+            f"column {col_name!r} contains {vec_arr.null_count} null "
+            "vectors; drop or impute them before similarity search"
+        )
+    import pyarrow.compute as pc
+
+    lens = pc.unique(pc.list_value_length(vec_arr)).to_pylist()
+    if len(lens) > 1:
+        raise ValueError(
+            f"column {col_name!r} has ragged vector lengths {sorted(lens)}; "
+            "embeddings must share one dimension"
+        )
+    flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+    assert n_rows == 0 or flat.size == n_rows * lens[0]
+    return np.array(flat, dtype=np.float64, copy=True).reshape(n_rows, -1)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -268,11 +296,7 @@ def embedding_dup_pairs(
     tbl = df.select(F.col(id_col), F.col(vec_col)).toArrow()
     ids = np.asarray(tbl.column(0).to_numpy(zero_copy_only=False))
     vec_arr = tbl.column(1).combine_chunks()
-    mat = np.array(
-        vec_arr.flatten().to_numpy(zero_copy_only=False),
-        dtype=np.float64,
-        copy=True,  # Arrow buffers are read-only; we normalize in place
-    ).reshape(len(ids), -1)
+    mat = _list_column_matrix(vec_arr, len(ids), vec_col)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sc = df.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
@@ -392,11 +416,7 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"q_id {id_t}, n_id {id_t}, cos double, rank int"
         )
-    train = np.array(
-        s_vecs.flatten().to_numpy(zero_copy_only=False),
-        dtype=np.float64,
-        copy=True,  # Arrow buffers are read-only; we normalize in place
-    ).reshape(n_train, -1)
+    train = _list_column_matrix(s_vecs, n_train, vec_col)
     train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cells = min(n_cells, len(train))

@@ -13,17 +13,18 @@ continues the dedup from that checkpoint exactly as if the fingerprints
 had been computed in batch.
 
 Exactly-once note: ``foreachBatch`` + a plain parquet append is
-at-least-once on batch retry. Two markers per batch close the window:
-``pending`` is committed BEFORE the append and ``done`` after, so a retry
-sees three cases — ``done`` present: batch fully committed, skip;
-``pending`` present but not ``done``: the previous attempt may have
-appended some or all rows before crashing, so the batch is anti-joined
-against the table on ``file_id`` before re-appending (repair cost paid
-only on this crash path, never per batch); neither present: fresh batch,
-plain append. Net effect is exactly-once on ``file_id``. (A file
-re-ingested with identical (repo, path, commit) in a LATER batch has the
-same file_id by construction and is a duplicate either way.) With
-USE_ICEBERG=1 the same hook would be an atomic MERGE.
+at-least-once on batch retry. Every append is keyed: the batch is
+anti-joined against the table on ``file_id`` before appending, so the
+table NEVER holds a duplicate file_id — whether the duplicate came from a
+crash-retry partial append or from the same file legitimately re-arriving
+in a later batch. Crash and no-crash runs converge to the identical table
+(an earlier design repaired only on a detected crash, which made the
+table contents depend on whether a crash happened — a batch-re-ingested
+file_id was dropped on the crash path but duplicated on the normal one).
+A ``done`` marker per batch short-circuits fully-committed retries
+without the scan. The anti-join reads only the ``file_id`` column
+(parquet column pruning); under USE_ICEBERG=1 the same hook is the
+atomic keyed MERGE this emulates.
 """
 
 from __future__ import annotations
@@ -69,17 +70,11 @@ def ingest_files_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if catalog.rows(f"{seen_key}/{batch_id}") is not None:
             return  # retried micro-batch — already fully committed
-        pending_key = f"{seen_key}/{batch_id}_pending"
-        crashed_midway = catalog.rows(pending_key) is not None
-        if not crashed_midway:
-            # commit the pending marker BEFORE the append: its presence on
-            # a retry means "rows may already be in the table"
-            catalog.write(
-                batch_df.sparkSession.range(1).toDF("one"), pending_key
-            )
-        elif catalog.exists(table):
-            # previous attempt died between append and done-marker — drop
-            # whatever it already landed (exactly-once on file_id)
+        if catalog.exists(table):
+            # keyed append: drop any file_id already in the table — covers
+            # crash-retry partial appends AND cross-batch re-arrivals, so
+            # the table is identical with or without a crash (true
+            # exactly-once on file_id; module docstring)
             existing = catalog.read(table).select("file_id")
             batch_df = batch_df.join(existing, "file_id", "left_anti")
         catalog.append(batch_df, table)

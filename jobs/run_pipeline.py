@@ -171,16 +171,22 @@ def main(argv: list[str] | None = None) -> int:
     # error artifact — parity with the reference's timestamped error log +
     # console summary (dedupe.py:147-182): the rows a user would triage land
     # in a {run_id}/errors warehouse table (file identity + error type),
-    # and the report carries the type frequencies. Written even on
-    # --dry-run/--analyze: it is a report artifact, not output data.
+    # and the report carries the type frequencies. --analyze still writes it
+    # (the reference's analyze entry point emits its error log too), but
+    # --dry-run does NOT: a dry run must not mutate warehouse state or
+    # clobber a prior real run's errors table for the same run_id — the
+    # frequencies are computed from the in-memory result instead.
     err_rows = result.filter(F.col("error").isNotNull()).select(
         "file_id", "repo", "path", "error"
     )
-    errors = pipe.catalog.write(err_rows, f"{args.run_id}/errors")
+    if args.dry_run:
+        errors = err_rows.count()
+    else:
+        errors = pipe.catalog.write(err_rows, f"{args.run_id}/errors")
+        err_rows = pipe.catalog.read(f"{args.run_id}/errors")
     top_errors = {
         r["error"]: r["n"]
-        for r in pipe.catalog.read(f"{args.run_id}/errors")
-        .groupBy("error")
+        for r in err_rows.groupBy("error")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "error")
         .limit(5)

@@ -120,6 +120,31 @@ def test_error_artifact_written_and_counted(capsys, tmp_path, spark):
     assert got_types == set(rep["top_errors"])
 
 
+def test_dry_run_does_not_write_errors_table(capsys, tmp_path, spark):
+    """--dry-run must not mutate warehouse report artifacts: the error
+    frequencies still appear in the report (computed in-memory) but no
+    {run_id}/errors table is written — a dry run can never clobber a prior
+    real run's error artifact for the same run_id."""
+    src = str(tmp_path / "docs.parquet")
+    good = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    bad = spark.createDataFrame(
+        [(9001, "", "en", "synthetic")],
+        "doc_id long, text string, lang string, source string",
+    )
+    good.select("doc_id", "text", "lang", "source").unionByName(bad).write.parquet(src)
+
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "--input", src, "--documents", "--warehouse", wh,
+        "--run-id", "cli6", "--dry-run", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    assert rep["error_rows"] == 1
+    assert sum(rep["top_errors"].values()) == 1
+    assert not os.path.exists(os.path.join(wh, "cli6", "errors"))
+
+
 def test_rep_order_quality_selects_highest_quality_member(capsys, tmp_path, spark):
     """--rep-order quality routes W5: within a duplicate cluster the
     representative is the member with the highest text-quality score."""

@@ -158,3 +158,28 @@ def test_ivf_full_probe_is_exact(vectors):
         for r in ivf_topk(queries, vectors, k=5, n_cells=4, n_probe=4).collect()
     }
     assert full == exact
+
+
+def test_null_embedding_rejected_loudly(spark, vectors):
+    """Arrow collect path: ListArray.flatten() silently drops null rows —
+    a null embedding must raise naming the column, never misalign ids."""
+    bad = vectors.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    with pytest.raises(Exception, match="embedding.*null"):
+        embedding_dup_pairs(bad, threshold=0.95).collect()
+
+
+def test_ragged_embedding_rejected_loudly(spark, vectors):
+    """Ragged vector lengths whose total happens to divide the row count
+    would silently misalign in the reshape — must raise instead."""
+    bad = vectors.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(901, [1.0] * 8), (902, [1.0] * 24)],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    with pytest.raises(Exception, match="ragged"):
+        embedding_dup_pairs(bad, threshold=0.95).collect()

@@ -226,11 +226,40 @@ def test_incremental_ingest_feeds_staged_pipeline(spark, corpus, tmp_path):
     assert stream_clusters == batch_clusters
 
 
+def test_ingest_rearrived_file_id_not_duplicated(spark, corpus, tmp_path):
+    """A file legitimately re-arriving in a LATER batch (same repo/path/
+    commit ⇒ same file_id) must not duplicate: the keyed append drops it,
+    so the table is identical whether or not the arrivals were split —
+    and identical to a crash-retry run (the convergence property)."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.fixtures import files_dataframe
+    from dedupe_spark.sources.catalog import Catalog
+    from dedupe_spark.streaming.ingest import ingest_files_stream
+
+    wh, src = str(tmp_path / "wh"), str(tmp_path / "files")
+    cfg = PipelineConfig(run_id="rearr1", warehouse=wh)
+    files = files_dataframe(spark, corpus).cache()
+    n = files.count()
+
+    files.write.mode("append").parquet(src)
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(180)
+    # the SAME rows arrive again as new source files (new parquet part
+    # files → the stream treats them as a fresh batch)
+    files.limit(max(1, n // 3)).write.mode("append").parquet(src)
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(180)
+
+    tbl = Catalog(spark, wh).read("rearr1/fingerprints")
+    assert tbl.count() == n
+    assert tbl.select("file_id").distinct().count() == n
+
+
 def test_ingest_retry_after_partial_append_is_exactly_once(spark, corpus, tmp_path):
     """Crash window between append and done-marker: simulate an attempt that
-    landed PART of batch 0 and committed the pending marker but died before
-    the done marker. The replay must anti-join repair — every file_id ends
-    up exactly once, never duplicated, never dropped."""
+    landed PART of batch 0 but died before the done marker. The replay's
+    keyed append must repair — every file_id ends up exactly once, never
+    duplicated, never dropped."""
     from dedupe_spark.config import PipelineConfig
     from dedupe_spark.fixtures import files_dataframe
     from dedupe_spark.functions.fingerprint import with_fingerprints
