@@ -286,6 +286,19 @@ def simhash_dedupe(
     )
 
 
+# Default document-frequency cap for the n-gram set-similarity join. The
+# inverted-index join is O(df²) PER GRAM: one stopword bigram appearing in
+# 10^6 documents alone contributes 5·10^11 joined rows — the single latent
+# scale-killer in an otherwise linear plan. Ubiquitous grams carry no
+# discriminative signal (they shift Jaccard uniformly), so capping df is
+# the standard prefix-filter hygiene, not an approximation a user must
+# opt into. 1000 bounds any gram's join group at 10^6 rows while leaving
+# every discriminative gram intact at the corpus sizes where exact n-gram
+# Jaccard is even viable; pass ``max_df=None`` explicitly for the
+# unbounded literal semantics on small corpora.
+DEFAULT_NGRAM_MAX_DF = 1000
+
+
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, *, k: int) -> DataFrame:
     """Distinct (id, gram) rows: whitespace tokens → full k-grams only."""
     toks = df.select(
@@ -369,7 +382,7 @@ def ngram_jaccard_pairs(
     *,
     k: int = 2,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity self-join, fully relational.
 
@@ -387,6 +400,11 @@ def ngram_jaccard_pairs(
     discriminative signal anyway); each per-gram join group shrinks from
     O(df²) to O(max_df²). The SQL oracle applies the identical cap, so
     parity holds exactly.
+
+    ``max_df`` DEFAULTS to ``DEFAULT_NGRAM_MAX_DF`` (see its comment): an
+    uncapped call on a web-scale corpus is O(df²) on its hottest gram, so
+    unbounded semantics are opt-in (``max_df=None``), never the silent
+    default.
     """
     grams = _doc_grams(df, id_col, text_col, k=k)
     if max_df is not None:
@@ -401,9 +419,12 @@ def ngram_jaccard_dedupe(
     *,
     k: int = 2,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dedup: τ-pairs → connected components.
+
+    ``max_df`` defaults to ``DEFAULT_NGRAM_MAX_DF`` — see
+    ``ngram_jaccard_pairs``; pass ``None`` for unbounded.
 
     Byte-identical texts are pre-collapsed into super-nodes before the
     set-similarity join (a giant exact-dup group would otherwise emit

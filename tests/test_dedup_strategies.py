@@ -306,3 +306,40 @@ def test_cc_random_graphs_match_union_find(spark):
         for r in connected_components(df).collect()
     }
     assert got == _truth_components(edges)
+
+
+def test_ngram_pairs_default_df_cap_guards_hot_grams(spark):
+    """The RAW operator's default must not be silently O(df²) on a stopword
+    gram: with > DEFAULT_NGRAM_MAX_DF documents sharing one hot bigram, the
+    default path drops it (the planted hot-gram pair vanishes) while
+    explicit ``max_df=None`` opts back into the unbounded literal
+    semantics. True near-dups on sub-cap grams pair either way."""
+    from dedupe_spark.operators.dedup import (
+        DEFAULT_NGRAM_MAX_DF,
+        ngram_jaccard_pairs,
+    )
+
+    n_hot = DEFAULT_NGRAM_MAX_DF + 2
+    rows = [(i, f"common gram u{i} v{i}") for i in range(n_hot)]
+    rows.append((5000, "common gram"))       # grams: {"common gram"} only
+    rows.append((5001, "common gram zz"))    # {"common gram", "gram zz"}
+    # ^ jaccard 1/2 = 0.5 — a pair ONLY via the hot gram
+    rows += [(6000, "alpha beta gamma delta"), (6001, "alpha beta gamma delta eps")]
+    # ^ jaccard 3/4 on cold grams — must pair under the default cap
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.5).collect()
+    }
+    assert (5000, 5001) not in capped
+    assert (6000, 6001) in capped
+
+    uncapped = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert (5000, 5001) in uncapped
+    assert (6000, 6001) in uncapped
