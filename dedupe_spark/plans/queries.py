@@ -1367,6 +1367,83 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN against exact brute force, per query.
+
+    The ANN's candidate generation is seeded-hyperplane + UDF — not SQL —
+    but its OUTPUT is a small (q_id, n_id) set, so the ``ivf_full_probe``/
+    fingerprint-materialization pattern applies: at sf0.01 the engine
+    materializes its ANN picks, and the DuckDB twin independently
+    brute-forces the TRUE top-10 (the ``SQL_KNN_COSINE`` join) and scores
+    those picks' recall. Both engines thus agree on ground truth from raw
+    data; only the pick set is engine-provided. A wrong Spark brute force,
+    a broken rerank, or an over-pruned candidate join all surface as a
+    hash mismatch on the recall values (deterministic seeds ⇒ the values
+    are stable run to run).
+
+    Expect MODEST recall values here: the synthetic sf0.01 embeddings are
+    near-isotropic (max pairwise cosine ≈ 0.51), so "nearest neighbors"
+    are barely above noise — the worst case for any LSH. This gate checks
+    the recall COMPUTATION end to end; the ANN's quality bound (≥ 0.9 on
+    clustered data) is pinned by tests/test_similarity.py."""
+    from dedupe_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = ann_lsh_topk(queries, emb, k=10, n_planes=6, n_tables=8).select(
+        "q_id", "n_id"
+    )
+    if _is_oracle_sf(sf_dir):
+        _materialize_for_oracle(approx, "ann_picks")
+    truth = cosine_topk(queries, emb, k=10).select("q_id", "n_id")
+    hits = (
+        truth.join(approx, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ks = truth.groupBy("q_id").agg(F.count("*").alias("k"))
+    return (
+        ks.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH truth AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 10
+), picks AS (
+  SELECT q_id, n_id FROM read_parquet('{_ORACLE_FP_DIR}/ann_picks/*.parquet')
+), hits AS (
+  SELECT t.q_id, count(*) AS n_hits
+  FROM truth t JOIN picks p ON t.q_id = p.q_id AND t.n_id = p.n_id
+  GROUP BY t.q_id
+), ks AS (
+  SELECT q_id, count(*) AS k FROM truth GROUP BY q_id
+)
+SELECT ks.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / ks.k, 4) AS recall
+FROM ks LEFT JOIN hits h ON h.q_id = ks.q_id
+ORDER BY ks.q_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over mapInPandas with the
     deterministic fake decoder (rows-only; codecs stubbed per environment).
@@ -1477,6 +1554,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, SQL_MINHASH_LSH_DEDUPE),
         "simhash_dedupe": (q_simhash_dedupe, SQL_SIMHASH_DEDUPE),
         "ann_topk": (q_ann_topk, None),
+        "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "ivf_topk": (q_ivf_topk, None),
         "media_features": (q_media_features, None),
         "media_resize": (q_media_resize, None),
