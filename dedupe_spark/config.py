@@ -27,6 +27,12 @@ class PipelineConfig:
 
     # --- fingerprinting ---------------------------------------------------
     shingle_k: int = 3          # token-shingle width
+    # simhash fingerprint width for the standalone simhash dedup — the
+    # reference's hash_size precision/recall dial (dedupe.py:84-90,
+    # hash_size 8/16 → 64/256-bit hashes). 64 (default) keeps the single
+    # LongType fast path; wider multiples of 64 use array<long>
+    # fingerprints (functions.fingerprint.make_wide_simhash_udf).
+    simhash_bits: int = 64
     num_perm: int = 128         # MinHash permutations
     lsh_bands: int = 32         # b
     lsh_rows: int = 4           # r; b*r must equal num_perm
@@ -71,5 +77,7 @@ class PipelineConfig:
             raise ValueError("require_agreement must be in [1, 3]")
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+        if self.simhash_bits < 64 or self.simhash_bits % 64:
+            raise ValueError("simhash_bits must be a positive multiple of 64")
         if self.rep_order not in ("default", "quality"):
             raise ValueError("rep_order must be 'default' or 'quality'")

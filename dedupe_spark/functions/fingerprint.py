@@ -349,6 +349,77 @@ def make_simhash_udf(shingle_k: int):
     return simhash_udf
 
 
+def _remix(h: np.ndarray, j: int) -> np.ndarray:
+    """Independent 64-bit view #j of shingle hashes (splitmix64 finalizer).
+
+    j=0 is the identity, so word 0 of a wide fingerprint equals the 64-bit
+    simhash exactly. The finalizer is bijective (xor-shift and odd-multiply
+    both are), so per-row uniqueness of the shingle set is preserved.
+    """
+    if j == 0:
+        return h
+    x = h ^ (np.uint64(j) * _BAND_C0)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def make_wide_simhash_udf(shingle_k: int, bits: int):
+    """Wide-simhash UDF: ``simhash array<long>`` of ``bits/64`` words.
+
+    The reference's ``hash_size`` dial (dedupe.py:84-90: hash_size 8/16 →
+    64/256-bit perceptual hashes) — wider fingerprints trade compute for
+    precision at the same relative threshold. Each 64-bit word is the
+    majority-vote simhash over an independently remixed view of the SAME
+    shingle set (``_remix``), so words are independent signals and the
+    128-bit Hamming distance is the sum of per-word XOR popcounts.
+    """
+    if bits % 64 or bits < 64:
+        raise ValueError(f"bits must be a positive multiple of 64, got {bits}")
+    words = bits // 64
+    struct = T.StructType(
+        [
+            T.StructField("simhash", T.ArrayType(T.LongType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    @pandas_udf(struct)
+    def wide_simhash_udf(content: pd.Series) -> pd.DataFrame:
+        n = len(content)
+        tokens_per_row: list[list[str]] = [
+            tokenize(c) if isinstance(c, str) else [] for c in content
+        ]
+        tok_counts = np.fromiter(
+            (len(t) for t in tokens_per_row), dtype=np.int64, count=n
+        )
+        flat_tokens = [t for row in tokens_per_row for t in row]
+        flat_hashes = _hash_shingles_batch(flat_tokens)
+        offsets = np.concatenate(([0], np.cumsum(tok_counts)))
+        rolled = [
+            shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
+            for i in range(n)
+        ]
+        lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
+        flat_rolled = (
+            np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
+        )
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        vu, counts = _unique_per_row(flat_rolled, row_idx, n)
+        u_offsets = np.concatenate(([0], np.cumsum(counts)))
+        word_cols = [
+            _simhash_batch(_remix(vu, j), u_offsets, counts) for j in range(words)
+        ]
+        return pd.DataFrame(
+            {
+                "simhash": list(np.stack(word_cols, axis=1)) if n else [],
+                "n_tokens": tok_counts.astype(np.int32),
+            }
+        )
+
+    return wide_simhash_udf
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-level stage
 # ---------------------------------------------------------------------------

@@ -148,54 +148,84 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_hamming_pairs(
-    fingerprints: DataFrame, *, hamming_threshold: int = 6
+    fingerprints: DataFrame, *, hamming_threshold: int = 6, bits: int = 64
 ) -> DataFrame:
     """(id, simhash) → all pairs (id1 < id2) within Hamming ≤ threshold.
 
     Pigeonhole-complete banded blocking, block-COMBINATION keyed (the
     design of Manku et al.'s web-scale simhash dedup, WWW'07): split the
-    64-bit fingerprint into ``b = threshold + 2`` near-equal blocks. A
-    pair at distance d ≤ threshold differs in at most d blocks, so at
-    least 2 blocks match exactly — and every 2-subset of blocks is a join
-    table, so some table key matches: recall is guaranteed, never
-    probabilistic. Keying on block PAIRS (C(b,2) tables, ~2·64/b-bit
-    keys) instead of single blocks (b tables, 64/b-bit keys) is what makes
-    this scale: with single 8-bit blocks a bucket holds n/256 rows —
+    ``bits``-wide fingerprint into ``b ≥ threshold + 2`` near-equal
+    blocks. A pair at distance d ≤ threshold differs in at most d blocks,
+    so at least 2 blocks match exactly — and every 2-subset of blocks is a
+    join table, so some table key matches: recall is guaranteed, never
+    probabilistic. Keying on block PAIRS (C(b,2) tables, ~2·bits/b-bit
+    keys) instead of single blocks (b tables, bits/b-bit keys) is what
+    makes this scale: with single 8-bit blocks a bucket holds n/256 rows —
     quadratic blowup at warehouse n — while 16-bit pair keys bound buckets
     at n/65536. Residual predicate is the exact XOR popcount
     (hash_generator.py:116-140's loop, as JVM ``bit_count``).
+
+    ``simhash`` may be a LongType column (``bits=64``) or an
+    ``array<long>`` of ``bits/64`` words (the reference's wider
+    ``hash_size`` analog, dedupe.py:84-90) — blocks are cut across word
+    boundaries and the residual distance sums per-word popcounts, all
+    still codegen'd JVM expressions.
     """
-    n_blocks = max(2, min(hamming_threshold + 2, 64))
-    bounds = [64 * i // n_blocks for i in range(n_blocks)] + [64]
-    block = [
-        F.shiftrightunsigned(F.col("simhash"), bounds[i]).bitwiseAND(
-            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
-        )
-        for i in range(n_blocks)
-    ]
-    # every 2-combination of blocks → one table; key = (b_i << 32) | b_j
-    # (block widths ≤ 32 bits, so the packed key fits a long losslessly).
-    # Large thresholds would need C(t+2, 2) tables — beyond 128 tables the
-    # explode volume outweighs the bucket shrinkage, so fall back to
-    # single-block keying (t+1 tables; guarantee needs only 1 clean block).
     import itertools
 
-    combos = list(itertools.combinations(range(n_blocks), 2))
-    if len(combos) > 128:
-        n_blocks = max(2, min(hamming_threshold + 1, 64))
-        bounds = [64 * i // n_blocks for i in range(n_blocks)] + [64]
-        block = [
-            F.shiftrightunsigned(F.col("simhash"), bounds[i]).bitwiseAND(
-                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+    from pyspark.sql import types as T
+
+    is_wide = isinstance(
+        fingerprints.schema["simhash"].dataType, T.ArrayType
+    )
+    if not is_wide:
+        bits = 64
+    if bits % 64 or bits < 64:
+        raise ValueError(f"bits must be a positive multiple of 64, got {bits}")
+    words = bits // 64
+
+    def word(w: int):
+        return F.col("simhash")[w] if is_wide else F.col("simhash")
+
+    def block(lo: int, hi: int):
+        """Bits [lo, hi) of the concatenated fingerprint as a long."""
+        w, off, width = lo // 64, lo % 64, hi - lo
+        if width == 64:  # whole word (bounds are word-aligned in this case)
+            return word(w)
+        avail = 64 - off
+        if width <= avail:
+            return F.shiftrightunsigned(word(w), off).bitwiseAND(
+                F.lit((1 << width) - 1)
             )
-            for i in range(n_blocks)
-        ]
+        low = F.shiftrightunsigned(word(w), off).bitwiseAND(
+            F.lit((1 << avail) - 1)
+        )
+        high = word(w + 1).bitwiseAND(F.lit((1 << (width - avail)) - 1))
+        return low.bitwiseOR(F.shiftleft(high, avail))
+
+    def blocks_for(n_blocks: int):
+        bounds = [bits * i // n_blocks for i in range(n_blocks)] + [bits]
+        return [block(bounds[i], bounds[i + 1]) for i in range(n_blocks)]
+
+    # pair keys pack two blocks into one long, so widths must be ≤ 32 bits:
+    # b ≥ ceil(bits/32) blocks (pigeonhole allows ANY b ≥ threshold + 2)
+    n_blocks = min(max(hamming_threshold + 2, -(-bits // 32)), bits)
+    combos: list[tuple[int, ...]] = list(
+        itertools.combinations(range(n_blocks), 2)
+    )
+    if len(combos) > 128:
+        # beyond 128 tables the explode volume outweighs the bucket
+        # shrinkage — fall back to single-block keying (t+1 tables;
+        # guarantee needs only 1 clean block; widths must be ≤ 64 ⇒
+        # b ≥ words)
+        n_blocks = min(max(hamming_threshold + 1, words, 2), bits)
         combos = [(i,) for i in range(n_blocks)]
+    blk = blocks_for(n_blocks)
     keys = F.array(
         *[
-            F.shiftleft(block[c[0]], 32).bitwiseOR(block[c[1]])
+            F.shiftleft(blk[c[0]], 32).bitwiseOR(blk[c[1]])
             if len(c) == 2
-            else block[c[0]]
+            else blk[c[0]]
             for c in combos
         ]
     )
@@ -203,15 +233,21 @@ def simhash_hamming_pairs(
         "id", "simhash", F.posexplode(keys).alias("tbl", "key")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = None
+    for w in range(words):
+        term = F.bit_count(
+            (F.col("a.simhash")[w] if is_wide else F.col("a.simhash")).bitwiseXOR(
+                F.col("b.simhash")[w] if is_wide else F.col("b.simhash")
+            )
+        )
+        hamming = term if hamming is None else hamming + term
     return (
         a.join(b, ["tbl", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= hamming_threshold)
         .dropDuplicates(["id1", "id2"])
@@ -225,6 +261,7 @@ def simhash_dedupe(
     *,
     hamming_threshold: int = 6,
     cfg: PipelineConfig | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Near-dedup via 64-bit simhash + banded-Hamming blocking + CC.
 
@@ -247,9 +284,23 @@ def simhash_dedupe(
     collapse is lossless — identical simhash ⇒ Hamming 0 ⇒ same cluster —
     and the final labels are identical to the uncollapsed computation
     (component label = min id; each group rep is already its group min).
+
+    ``bits`` (default from ``cfg.simhash_bits``, 64) widens the
+    fingerprint — the reference's ``hash_size`` precision dial
+    (dedupe.py:84-90): at the same relative threshold a 128-bit
+    fingerprint halves the per-bit noise of the majority vote, cutting
+    false positives on short/noisy docs. Wide fingerprints are
+    ``array<long>``; blocking and the popcount residual generalize
+    (``simhash_hamming_pairs``), everything else is width-agnostic.
     """
     cfg = cfg or PipelineConfig()
-    simhash_udf = make_simhash_udf(cfg.shingle_k)
+    bits = bits if bits is not None else cfg.simhash_bits
+    if bits == 64:
+        simhash_udf = make_simhash_udf(cfg.shingle_k)
+    else:
+        from dedupe_spark.functions.fingerprint import make_wide_simhash_udf
+
+        simhash_udf = make_wide_simhash_udf(cfg.shingle_k, bits)
     # simhash-only fingerprint: this operator never reads the MinHash
     # signature or band keys, so skip the 128-perm kernels entirely.
     # healthy ⇔ n_tokens > 0 — exactly with_fingerprints' error channel
@@ -267,6 +318,7 @@ def simhash_dedupe(
     edges = simhash_hamming_pairs(
         groups.select(F.col("rep").alias("id"), "simhash"),
         hamming_threshold=hamming_threshold,
+        bits=bits,
     )
     comp = connected_components(edges)
     rep_cluster = groups.join(

@@ -8,6 +8,8 @@ only allowed to be faster, not lossier).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dedupe_spark.operators.cc import connected_components
 from dedupe_spark.operators.dedup import simhash_hamming_pairs
 
@@ -343,3 +345,90 @@ def test_ngram_pairs_default_df_cap_guards_hot_grams(spark):
     }
     assert (5000, 5001) in uncapped
     assert (6000, 6001) in uncapped
+
+
+def _signed_words(v: int, words: int) -> list[int]:
+    """Unsigned wide int → little-endian list of Java longs."""
+    return [_signed((v >> (64 * w)) & ((1 << 64) - 1)) for w in range(words)]
+
+
+def _wide_pairs(spark, sims: dict[str, int], threshold: int, bits: int):
+    from dedupe_spark.operators.dedup import simhash_hamming_pairs
+
+    words = bits // 64
+    df = spark.createDataFrame(
+        [(k, _signed_words(v, words)) for k, v in sims.items()],
+        "id string, simhash array<long>",
+    )
+    got = simhash_hamming_pairs(
+        df, hamming_threshold=threshold, bits=bits
+    ).collect()
+    return {(r["id1"], r["id2"]) for r in got}
+
+
+def test_wide_simhash_pairs_exhaustive_small(spark):
+    """128-bit banded blocking == brute force on a planted set, several
+    thresholds — including t=5 (7 blocks: bounds straddle the word
+    boundary) and diffs split across both words."""
+    import itertools
+
+    base = 0x0123456789ABCDEF_FEDCBA9876543210
+    sims = {
+        "a": base,
+        "b": base ^ 0b111,                                   # d=3, low word
+        "c": base ^ ((1 << 63) | (1 << 64) | (1 << 65)),     # d=3 across the boundary
+        "d": base ^ ((1 << 5) | (1 << 40) | (1 << 70) | (1 << 100) | (1 << 127)),  # d=5 spread
+        "e": (1 << 128) - 1,
+        "f": 0,
+    }
+    mask = (1 << 128) - 1
+    for t in (0, 3, 5, 10, 16):
+        brute = {
+            tuple(sorted((i, j)))
+            for i, j in itertools.combinations(sims, 2)
+            if bin((sims[i] ^ sims[j]) & mask).count("1") <= t
+        }
+        assert _wide_pairs(spark, sims, t, 128) == brute, f"threshold {t}"
+
+
+def test_wide_simhash_word0_matches_narrow(spark):
+    """Word 0 of the wide fingerprint IS the 64-bit simhash (remix j=0 is
+    the identity) — the width dial changes precision, not the base signal."""
+    from dedupe_spark.functions.fingerprint import (
+        make_simhash_udf,
+        make_wide_simhash_udf,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    narrow = make_simhash_udf(3)
+    wide = make_wide_simhash_udf(3, 128)
+    both = docs.select(
+        "doc_id",
+        narrow(F.col("text")).alias("n"),
+        wide(F.col("text")).alias("w"),
+    ).select("doc_id", "n.simhash", F.col("w.simhash").alias("wide"))
+    for r in both.collect():
+        assert r["wide"][0] == r["simhash"], r["doc_id"]
+        assert len(r["wide"]) == 2
+
+
+def test_simhash_dedupe_128bit_same_clusters_on_planted_corpus(spark):
+    """The 128-bit path clusters the planted copy families identically to
+    the 64-bit default (identical texts ⇒ identical wide fingerprints;
+    distinct families stay apart at either width)."""
+    from dedupe_spark.operators.dedup import simhash_dedupe
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "totally different words about unrelated matters entirely xyz"
+    rows = [(i, base) for i in range(20)]
+    rows += [(40 + i, other) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (64, 128):
+        out = {
+            r["id"]: r["cluster_id"]
+            for r in simhash_dedupe(df, "doc_id", "text", bits=bits).collect()
+        }
+        assert {out[str(i)] for i in range(20)} == {"0"}, bits
+        assert {out[str(40 + i)] for i in range(5)} == {"40"}, bits
