@@ -73,10 +73,39 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Real codec hook — requires PIL/librosa/av, absent in this container."""
+    """Real codec hook — PIL-backed image decode wherever Pillow exists.
+
+    Feature = 16-bin intensity histogram over the decoded grayscale
+    pixels, L1-normalized — the same (16,) float32 shape contract as
+    ``fake_decode``, so the Spark-side plumbing (schema, mapInPandas
+    batches, error channel) is byte-for-byte identical whichever decoder
+    runs. Audio/video kinds would need librosa/av wrappers. In codec-less
+    environments (this sandbox has no Pillow) the ImportError surfaces as
+    NotImplementedError; the skipif-gated test
+    ``tests/test_multimodal.py::test_real_decode_with_pillow`` exercises
+    the real path wherever Pillow is installed, so the hook cannot rot
+    silently.
+    """
+    if kind == "image":
+        try:
+            from PIL import Image  # noqa: PLC0415 — optional codec import
+        except ImportError as e:
+            raise NotImplementedError(
+                "Pillow is not installed in this environment; pass "
+                "decode_fn=fake_decode or install Pillow for real image "
+                "decode"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.size == 0:
+            raise ValueError("decoded image has zero pixels")
+        hist = np.bincount(arr.ravel() >> 4, minlength=16).astype(np.float64)
+        return (hist / hist.sum()).astype(np.float32)
     raise NotImplementedError(
-        "media codecs (PIL/librosa/ffmpeg) are not installed in this "
-        "environment; pass decode_fn=fake_decode or a real codec wrapper"
+        f"no codec wrapper for kind={kind!r} (librosa/av not installed); "
+        "pass decode_fn=fake_decode or a real codec wrapper"
     )
 
 

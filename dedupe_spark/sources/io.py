@@ -18,7 +18,7 @@ Scale notes baked in here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,19 +78,58 @@ def read_documents_as_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def with_conflict_free_names(
+    df: DataFrame, *, path_col: str = "path", id_col: str = "file_id"
+) -> DataFrame:
+    """S8 flat-destination conflict resolution (file_organizer.py:194-224).
+
+    When every surviving file lands in ONE flat output directory, files
+    from different source dirs can share a basename; the reference walks
+    the names sequentially, keeping a mutable seen-set and appending
+    ``_1, _2, …`` before the extension. The relational form: window over
+    the basename ordered by ``id_col`` — the first claimant keeps the bare
+    name, the k-th gets ``stem_k.ext``. Deterministic (id orders claims)
+    and skew-safe: the window partitions on the full basename, whose
+    cardinality grows with the corpus (no single hot partition).
+    """
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    ext = F.regexp_extract(base, r"(\.[^.\/]*)$", 1)
+    stem = base.substr(F.lit(1), F.length(base) - F.length(ext))
+    rn = F.row_number().over(
+        Window.partitionBy(base.alias("__name")).orderBy(F.col(id_col))
+    )
+    return df.withColumn(
+        "out_name",
+        F.when(rn == 1, base).otherwise(
+            F.concat(stem, F.lit("_"), (rn - 1).cast("string"), ext)
+        ),
+    )
+
+
 def write_output(
     df: DataFrame,
     path: str,
     *,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    flat: bool = False,
 ) -> None:
     """Write an output table, partitioned for downstream pruning.
 
     Default partitioning by ``lang`` mirrors the reference's
     structure-preserving output option (file_organizer.py:144-154): the
     partition directory layout *is* the preserved structure.
+
+    ``flat=True`` is the reference's other output mode — everything into
+    one flat destination (file_organizer.py:131-143): no partition
+    directories, and basename conflicts resolved with the ``_k`` suffix
+    column (``with_conflict_free_names``; requires ``path``/``file_id``
+    columns). The suffixed name is carried as ``out_name``.
     """
+    if flat:
+        df = with_conflict_free_names(df)
+        df.write.mode(mode).parquet(path)
+        return
     cols = partition_by if partition_by is not None else (
         ["lang"] if "lang" in df.columns else []
     )

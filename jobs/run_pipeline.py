@@ -46,6 +46,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--output", default=None,
                    help="optional parquet path for surviving rows "
                         "(representatives + singletons)")
+    p.add_argument("--flat-output", action="store_true",
+                   help="write --output as one flat table (no partition "
+                        "dirs); basename conflicts resolved with _k "
+                        "suffixes in an out_name column (the reference's "
+                        "flat-destination mode, file_organizer.py:131-143,"
+                        "194-224)")
     p.add_argument("--threshold", type=int, default=10,
                    help="simhash Hamming threshold 0-64 (default 10)")
     p.add_argument("--agreement", type=int, default=2,
@@ -154,7 +160,11 @@ def main(argv: list[str] | None = None) -> int:
     result = pipe.result()
 
     if args.output and not (args.dry_run or args.analyze):
-        survivors(result).write.mode("overwrite").parquet(args.output)
+        from dedupe_spark.sources.io import write_output
+
+        # default: lang-partitioned (structure-preserving S7); --flat-output
+        # = the reference's single-flat-directory mode with S8 suffixing
+        write_output(survivors(result), args.output, flat=args.flat_output)
 
     # run report (duplicate_detector.py:191-217 / file_organizer.py:270-293)
     sizes = (

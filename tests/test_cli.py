@@ -202,3 +202,29 @@ def test_update_mode_appends_batch(docs_parquet, capsys, tmp_path, spark):
     rep = _last_json(capsys)
     assert rep["total_files"] > 60  # original 60 + appended batch
     assert rep["stages_ran"]["fingerprints_appended"] > 0
+
+
+def test_flat_output_suffixes_colliding_basenames(capsys, tmp_path, spark):
+    """--flat-output e2e: survivors land in ONE flat table and planted
+    basename collisions carry _k-suffixed out_names (reference
+    file_organizer.py:194-224)."""
+    src = str(tmp_path / "files.parquet")
+    rows = [
+        ("r1", "a/dup.py", "c0", "python", "alpha beta gamma delta " * 5),
+        ("r2", "b/dup.py", "c0", "python", "totally different content words " * 5),
+        ("r3", "c/only.py", "c0", "python", "third unrelated content here " * 5),
+    ]
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(src)
+
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "out")
+    rc = main([
+        "--input", src, "--warehouse", wh, "--run-id", "cli7",
+        "--output", out, "--flat-output", "--quiet",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    names = {r["out_name"] for r in got.collect()}
+    assert names == {"dup.py", "dup_1.py", "only.py"}
+    assert not any(d.startswith("lang=") for d in os.listdir(out))

@@ -129,3 +129,55 @@ def test_frame_sampling_one_to_many_contract(spark):
         assert b"".join(bytes(r["frame_payload"]) for r in fr) == payloads[vid]
     # non-video rows surface as single in-band error rows
     assert out.filter("error is not null").count() == 24 - n_videos
+
+
+def _has_pillow() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed in this sandbox")
+def test_real_decode_with_pillow(spark):
+    """Exercises the REAL codec hook wherever Pillow exists: a generated
+    PNG decodes through extract_features(decode_fn=real_decode) into the
+    same (16,) L1-normalized feature contract as fake_decode."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from dedupe_spark.operators.multimodal import extract_features, real_decode
+
+    buf = _io.BytesIO()
+    Image.fromarray(
+        (np.arange(64 * 48, dtype=np.uint32) % 256).astype(np.uint8).reshape(48, 64)
+    ).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [("img0", "image", bytearray(png), 64, 48, None),
+         ("bad0", "image", bytearray(b"not a png"), None, None, None)],
+        "media_id string, kind string, payload binary, width int, height int, sample_rate int",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, decode_fn=real_decode).collect()}
+    ok = rows["img0"]
+    assert ok["error"] is None
+    assert len(ok["feature"]) == 16
+    assert abs(sum(ok["feature"]) - 1.0) < 1e-5
+    assert rows["bad0"]["error"] is not None  # corrupt payload stays in-band
+
+
+def test_real_decode_raises_cleanly_without_pillow(spark):
+    """In codec-less environments the hook must fail loudly and the
+    mapInPandas stage must keep it IN-BAND (error column, stage survives)."""
+    from dedupe_spark.operators.multimodal import extract_features, real_decode, synthesize_media
+
+    out = extract_features(synthesize_media(spark, n=6), decode_fn=real_decode)
+    rows = out.collect()
+    assert len(rows) == 6
+    if not _has_pillow():
+        assert all(r["error"] is not None for r in rows)

@@ -154,3 +154,45 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_fp_test")
+
+
+def test_conflict_free_names_suffixes_flat_collisions(spark):
+    """S8 flat mode: colliding basenames get _k before the extension,
+    ordered by file_id; non-colliding names stay bare."""
+    from dedupe_spark.sources.io import with_conflict_free_names
+
+    df = spark.createDataFrame(
+        [
+            ("f1", "a/util.py"),
+            ("f2", "b/util.py"),
+            ("f3", "c/sub/util.py"),
+            ("f4", "a/unique.rs"),
+            ("f5", "a/noext"),
+            ("f6", "b/noext"),
+        ],
+        "file_id string, path string",
+    )
+    out = {r["file_id"]: r["out_name"] for r in with_conflict_free_names(df).collect()}
+    assert out["f1"] == "util.py"          # first claimant by file_id
+    assert out["f2"] == "util_1.py"        # suffix BEFORE the extension
+    assert out["f3"] == "util_2.py"
+    assert out["f4"] == "unique.rs"
+    assert out["f5"] == "noext"
+    assert out["f6"] == "noext_1"
+
+
+def test_write_output_flat_mode(spark, tmp_path):
+    """flat=True writes one unpartitioned table carrying out_name."""
+    import os
+
+    from dedupe_spark.sources.io import write_output
+
+    df = spark.createDataFrame(
+        [("f1", "a/x.py", "python"), ("f2", "b/x.py", "python")],
+        "file_id string, path string, lang string",
+    )
+    dest = str(tmp_path / "flat")
+    write_output(df, dest, flat=True)
+    assert not any(d.startswith("lang=") for d in os.listdir(dest))
+    got = {r["out_name"] for r in spark.read.parquet(dest).collect()}
+    assert got == {"x.py", "x_1.py"}
