@@ -228,12 +228,28 @@ FRAME_SCHEMA = T.StructType(
 def fake_resize(payload: bytes, kind: str, out_w: int, out_h: int) -> np.ndarray:
     """Deterministic stand-in for an image resize: decode the payload to a
     1-D intensity signal and linearly resample it to out_w*out_h values —
-    shape-compatible with a real ``PIL.Image.resize`` wrapper."""
+    shape-compatible with a real ``PIL.Image.resize`` wrapper.
+
+    The interpolation is written as explicit IEEE-754 double ops (floor
+    index, fractional lerp, single final float32 cast) rather than
+    ``np.interp`` so an independent SQL engine can replicate it
+    bit-for-bit — the ``media_resize`` DuckDB oracle recomputes the same
+    formula from the raw payload bytes and the values hash-match."""
     if not payload:
         raise ValueError("empty payload")
-    src = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
-    idx = np.linspace(0, len(src) - 1, out_w * out_h)
-    return np.interp(idx, np.arange(len(src)), src).astype(np.float32)
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n = len(b)
+    src = b.astype(np.float64) / 255.0
+    m = out_w * out_h
+    if n == 1:
+        return np.full(m, src[0], dtype=np.float32)
+    delta = (n - 1) / (m - 1)
+    idx = np.arange(m, dtype=np.float64) * delta
+    idx[-1] = n - 1  # pin the endpoint exactly (linspace convention)
+    lo = np.floor(idx).astype(np.int64)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = idx - lo
+    return (src[lo] + frac * (src[hi] - src[lo])).astype(np.float32)
 
 
 def resize_media(

@@ -1444,15 +1444,33 @@ ORDER BY ks.q_id
 """
 
 
+def _materialize_media(spark: SparkSession) -> None:
+    """Write the deterministic synthetic media table (id, kind, payload
+    blob) for the media oracles — DuckDB recomputes features / resample
+    pixels / frame bounds from the raw bytes and the values hash-match.
+    Idempotent (seeded synthesis) and shared by all three media queries so
+    the oracle works regardless of which one the driver runs first."""
+    from dedupe_spark.operators.multimodal import synthesize_media
+
+    _materialize_for_oracle(
+        synthesize_media(spark, n=64).select("media_id", "kind", "payload"),
+        "media",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over mapInPandas with the
-    deterministic fake decoder (rows-only; codecs stubbed per environment).
+    deterministic fake decoder.
 
-    The raw ``feature: array<float>`` column is projected to hashable
-    scalars (L1 mass, argmax bin, sha of the JSON form) — the driver's
-    pandas canonicalizer factorizes object columns, and Python lists are
-    unhashable. The array operator itself is unchanged and unit-tested.
-    """
+    The ``feature: array<float>`` column (L1-normalized 16-bin nibble
+    histogram) is projected back to the EXACT integer bin counts —
+    ``floor(f_i * n_bytes + 0.5)`` inverts the normalization exactly for
+    n ≤ 2^23 — joined into one hashable string. The DuckDB twin
+    recomputes the same counts straight from the payload blob's hex
+    nibbles, value-checking the whole decode path (magic bytes included)
+    with no float-formatting hazard. Error channel: empty payloads
+    surface in-band, never fail the stage (reference
+    hash_generator.py:102-114 convention)."""
     from dedupe_spark.operators.multimodal import (
         extract_features,
         fake_decode,
@@ -1460,54 +1478,161 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_media_metadata,
     )
 
+    if _is_oracle_sf(sf_dir):
+        _materialize_media(spark)
     media = with_media_metadata(synthesize_media(spark, n=64))
     feats = extract_features(media, decode_fn=fake_decode)
     feat = F.col("feature")
+    n = F.col("n_bytes").cast("double")
+    counts = F.transform(
+        feat,
+        lambda v: F.floor(v.cast("double") * n + F.lit(0.5)).cast("long").cast("string"),
+    )
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
-        F.round(
-            F.aggregate(feat, F.lit(0.0), lambda acc, v: acc + v), 4
-        ).alias("feature_l1"),
+        F.array_join(counts, ",").alias("bin_counts"),
         F.array_position(feat, F.array_max(feat)).cast("int").alias("top_bin"),
-        F.sha2(F.to_json(feat), 256).alias("feature_sha"),
         "error",
     ).orderBy("media_id")
 
 
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT media_id, kind, payload, hex(payload) AS h,
+         octet_length(payload)::BIGINT AS n
+  FROM read_parquet('{_ORACLE_FP_DIR}/media/*.parquet')
+), counts AS (
+  SELECT media_id, kind, n,
+    CASE WHEN n = 0 THEN NULL ELSE
+      list_transform(range(16), v ->
+        len(list_filter(range(n::INT), i ->
+          strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1 = v)))
+    END AS bins
+  FROM m
+)
+SELECT media_id, kind, n AS n_bytes,
+       array_to_string(bins, ',') AS bin_counts,
+       list_position(bins, list_max(bins))::INT AS top_bin,
+       CASE WHEN n = 0 THEN 'ValueError: empty payload' END AS error
+FROM counts
+ORDER BY media_id
+"""
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage over mapInPandas with the deterministic fake resizer
-    (rows-only; pixels projected to hashable scalars)."""
+    """Resize stage over mapInPandas with the deterministic fake resizer.
+
+    The float32 pixel array is projected to ``floor(px*1e6 + 0.5)``
+    integers (one hashable joined string); the DuckDB twin replicates the
+    explicit double-precision lerp from the payload bytes — same IEEE op
+    order, same float32 cast — so the resample indexing and normalization
+    are value-checked bit-for-bit."""
     from dedupe_spark.operators.multimodal import (
         fake_resize,
         resize_media,
         synthesize_media,
     )
 
+    if _is_oracle_sf(sf_dir):
+        _materialize_media(spark)
     media = synthesize_media(spark, n=64)
     out = resize_media(media, out_w=8, out_h=8, resize_fn=fake_resize)
+    pix_q = F.transform(
+        F.col("pixels"),
+        lambda v: F.floor(v.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
     return out.select(
         "media_id",
         "kind",
         "out_w",
         "out_h",
-        F.round(
-            F.aggregate(F.col("pixels"), F.lit(0.0), lambda a, v: a + v), 4
-        ).alias("pixel_mass"),
+        F.array_join(pix_q, ",").alias("pix_q"),
         "error",
     ).orderBy("media_id")
 
 
+# replicates fake_resize exactly: idx_j = j*((n-1)/63.0) (endpoint pinned
+# to n-1), lerp in double on b/255.0 values, single float32 cast, then the
+# same floor(px*1e6 + 0.5) quantization the Spark projection applies.
+SQL_MEDIA_RESIZE = f"""
+WITH m AS (
+  SELECT media_id, kind, hex(payload) AS h,
+         octet_length(payload)::INT AS n
+  FROM read_parquet('{_ORACLE_FP_DIR}/media/*.parquet')
+), b AS (
+  SELECT media_id, kind, n,
+    list_transform(range(n), i ->
+      (strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16
+      + strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1) AS bts
+  FROM m
+), px AS (
+  SELECT media_id, kind, n,
+    list_transform(range(64), j -> CAST(floor(
+      CAST(CAST(
+        (bts[CAST(floor(CASE WHEN j = 63 THEN CAST(n-1 AS DOUBLE)
+                               ELSE j*((n-1)/63.0) END) AS INT) + 1] / 255.0)
+        + (CASE WHEN j = 63 THEN CAST(n-1 AS DOUBLE) ELSE j*((n-1)/63.0) END
+           - floor(CASE WHEN j = 63 THEN CAST(n-1 AS DOUBLE)
+                        ELSE j*((n-1)/63.0) END))
+          * ((bts[least(CAST(floor(CASE WHEN j = 63 THEN CAST(n-1 AS DOUBLE)
+                                          ELSE j*((n-1)/63.0) END) AS INT) + 1,
+                          n - 1) + 1] / 255.0)
+             - (bts[CAST(floor(CASE WHEN j = 63 THEN CAST(n-1 AS DOUBLE)
+                                      ELSE j*((n-1)/63.0) END) AS INT) + 1]
+                / 255.0))
+      AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS pix
+  FROM b WHERE n > 0
+)
+SELECT m.media_id, m.kind, 8 AS out_w, 8 AS out_h,
+       array_to_string(px.pix, ',') AS pix_q,
+       CASE WHEN m.n = 0 THEN 'ValueError: empty payload' END AS error
+FROM m LEFT JOIN px ON m.media_id = px.media_id
+ORDER BY m.media_id
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stage (1→N row explosion inside mapInPandas;
-    rows-only)."""
+    """Frame-sampling stage (1→N row explosion inside mapInPandas).
+
+    Output (frame_no, n_frame_bytes, error) is integer/string-exact, so
+    the DuckDB twin recomputes the byte-range bounds ``len*i // k``
+    directly from the payload length — value-checking the explode shape,
+    the bounds arithmetic, and the in-band error rows for non-video /
+    empty payloads."""
     from dedupe_spark.operators.multimodal import sample_frames, synthesize_media
 
+    if _is_oracle_sf(sf_dir):
+        _materialize_media(spark)
     media = synthesize_media(spark, n=64)
     return sample_frames(media, n_frames=4).select(
         "media_id", "frame_no", "n_frame_bytes", "error"
     ).orderBy("media_id", "frame_no")
+
+
+SQL_MEDIA_FRAMES = f"""
+WITH m AS (
+  SELECT media_id, kind, octet_length(payload)::BIGINT AS n
+  FROM read_parquet('{_ORACLE_FP_DIR}/media/*.parquet')
+), vids AS (
+  SELECT media_id, n, least(4, n) AS k FROM m WHERE kind = 'video' AND n > 0
+), frames AS (
+  SELECT media_id, unnest(range(k))::INT AS frame_no, n, k FROM vids
+)
+SELECT media_id, frame_no,
+       (n * (frame_no + 1)) // k - (n * frame_no) // k AS n_frame_bytes,
+       CAST(NULL AS VARCHAR) AS error
+FROM frames
+UNION ALL
+SELECT media_id, -1 AS frame_no, 0::BIGINT AS n_frame_bytes,
+       CASE WHEN kind <> 'video' THEN 'not a video: kind=' || kind
+            ELSE 'empty payload' END AS error
+FROM m WHERE kind <> 'video' OR n = 0
+ORDER BY media_id, frame_no
+"""
 
 
 def registry() -> dict[str, tuple[Callable, str | None]]:
@@ -1556,7 +1681,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "ann_topk": (q_ann_topk, None),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "ivf_topk": (q_ivf_topk, None),
-        "media_features": (q_media_features, None),
-        "media_resize": (q_media_resize, None),
-        "media_frames": (q_media_frames, None),
+        "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+        "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+        "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     }
