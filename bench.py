@@ -31,7 +31,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # SPARK_GRAFT_BENCH_COLD=1: single-shot, no warm-up — the r1/r2
+    # methodology, kept so cross-round comparisons have a like-for-like
+    # number (BENCH/BASELINE.md §methodology). Default: warm-up + min-of-2.
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+    repeats = 1 if cold else int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name: str, fn) -> None:
         # min-of-N: this VM shows 13-23% hypervisor-steal windows that
@@ -46,26 +50,28 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    # Warm-up (untimed): fork the Python UDF workers, initialize Arrow, and
+    # Warm-up (untimed, skipped in cold mode): fork the Python UDF workers, initialize Arrow, and
     # JIT the first shuffle once, so per-query timings measure the engine's
     # steady state rather than process start-up. Measured: the flagship
     # pipeline is 18.6 s cold vs 4.6 s warm at sf0.1 — ~14 s of pure
     # one-time session cost that would otherwise be billed to whichever
     # query runs first.
-    spark.range(0, 1000).mapInPandas(lambda it: it, "id long").groupBy().sum().collect()
+    if not cold:
+        spark.range(0, 1000).mapInPandas(lambda it: it, "id long").groupBy().sum().collect()
     # ... and JIT the pipeline's own codegen paths (hash joins, window
     # ranks, checkpoint machinery, sha2/bit_count expressions) on a
     # 64-row inline table: whole-stage-codegen classes compile per plan
     # SHAPE, so the first real query otherwise pays ~10 s of one-time
     # JVM compilation that is not a property of the engine under test.
-    warm = spark.createDataFrame(
-        [("r", f"p{i}", "0", "text", f"warm doc {i} " + "tok " * (i % 7))
-         for i in range(64)],
-        "repo string, path string, commit string, lang string, content string",
-    )
-    dedup_pipeline(warm, PipelineConfig()).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    if not cold:
+        warm = spark.createDataFrame(
+            [("r", f"p{i}", "0", "text", f"warm doc {i} " + "tok " * (i % 7))
+             for i in range(64)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        dedup_pipeline(warm, PipelineConfig()).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # flagship: full record-linkage pipeline over the documents table
     def flagship() -> None:

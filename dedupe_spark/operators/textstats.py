@@ -136,6 +136,84 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition signals — the Gopher/MassiveText quality
+    filters (Rae et al. 2021, "Scaling Language Models", Table A1) that a
+    pretraining pipeline applies before dedup: boilerplate and degenerate
+    generation show up as one token/n-gram dominating the document.
+
+      top_word_frac     occurrences of the most frequent token / n_tokens
+      top_bigram_frac   occurrences of the most frequent bigram / (n-1)
+      dup_trigram_frac  fraction of trigram slots occupied by repeats
+
+    The trigram fraction is pure array math (transform + array_distinct —
+    no shuffle); the n-gram modes explode keyed by document, so both
+    groupBys partial-aggregate map-side and repartition on the doc key
+    once — per-doc state stays bounded at any corpus size. Documents
+    shorter than the n-gram width get NULL for that signal rather than a
+    fake 0.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+
+    def grams(width: int) -> Column:
+        return F.when(
+            F.col("n_tokens") >= width,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - width),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("toks"), i + off + 1)
+                        for off in range(width)
+                    ],
+                ),
+            ),
+        )
+
+    base = base.withColumn("bgs", grams(2)).withColumn("tgs", grams(3))
+    wtop = (
+        base.select("id", F.explode("toks").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_word_n"))
+    )
+    btop = (
+        base.filter(F.col("bgs").isNotNull())
+        .select("id", F.explode("bgs").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    dup_tri = F.when(
+        F.col("tgs").isNotNull(),
+        F.round(
+            (F.size("tgs") - F.size(F.array_distinct("tgs"))) / F.size("tgs"), 4
+        ),
+    )
+    return (
+        base.join(wtop, "id", "left")
+        .join(btop, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("top_word_n") / F.col("n_tokens"), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(F.col("top_bigram_n") / (F.col("n_tokens") - 1), 4).alias(
+                "top_bigram_frac"
+            ),
+            dup_tri.alias("dup_trigram_frac"),
+        )
+    )
+
+
 def shingle_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -549,6 +549,56 @@ FROM documents
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (top-word /
+    top-bigram dominance, duplicate-trigram fraction) — the boilerplate
+    and degenerate-text filters a pretraining pipeline runs before dedup
+    (Rae et al. 2021, Table A1)."""
+    from dedupe_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), arr AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+    END AS bgs,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(len(toks)-2), i ->
+        toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    END AS tgs
+  FROM t
+), wcnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g
+), wtop AS (
+  SELECT doc_id, max(c) AS top_word_n FROM wcnt GROUP BY doc_id
+), bcnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS g FROM arr WHERE bgs IS NOT NULL)
+  GROUP BY doc_id, g
+), btop AS (
+  SELECT doc_id, max(c) AS top_bigram_n FROM bcnt GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens,
+       round(w.top_word_n * 1.0 / a.n_tokens, 4) AS top_word_frac,
+       round(b.top_bigram_n * 1.0 / (a.n_tokens - 1), 4) AS top_bigram_frac,
+       CASE WHEN a.tgs IS NOT NULL THEN
+         round((len(a.tgs) - len(list_distinct(a.tgs))) * 1.0 / len(a.tgs), 4)
+       END AS dup_trigram_frac
+FROM arr a
+LEFT JOIN wtop w USING (doc_id)
+LEFT JOIN btop b USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting (training-data ops; reference
     quality_assessor.py:94-105 weighted-sum analog)."""
@@ -1655,6 +1705,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

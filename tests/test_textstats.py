@@ -92,3 +92,35 @@ def test_shingle_fingerprint_deterministic_and_sensitive(spark):
 def test_short_doc_yields_no_full_shingles(spark):
     out = shingle_fingerprints(_df(spark, ["a b"]), "doc_id", "text", k=3)
     assert out.count() == 0
+
+
+def test_repetition_stats_closed_form(spark):
+    from dedupe_spark.operators.textstats import repetition_stats
+
+    # doc 0: "a a a b" — top word 'a' 3/4; bigrams [a a, a a, a b] top 2/3;
+    #        trigrams [a a a, a a b] all distinct → dup frac 0
+    # doc 1: "x y x y x y" — top word 3/6; top bigram 'x y' 3/5;
+    #        trigrams [x y x, y x y, x y x, y x y] 4 slots 2 distinct → 0.5
+    # doc 2: "q w" — too short for trigrams → NULL dup_trigram_frac
+    rows = (
+        repetition_stats(_df(spark, ["a a a b", "x y x y x y", "q w"]))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows[0]["top_word_frac"] == 0.75
+    assert rows[0]["top_bigram_frac"] == round(2 / 3, 4)
+    assert rows[0]["dup_trigram_frac"] == 0.0
+    assert rows[1]["top_word_frac"] == 0.5
+    assert rows[1]["top_bigram_frac"] == 0.6
+    assert rows[1]["dup_trigram_frac"] == 0.5
+    assert rows[2]["dup_trigram_frac"] is None
+    assert rows[2]["top_bigram_frac"] == 1.0  # single bigram 'q w'
+
+
+def test_repetition_stats_single_token_doc(spark):
+    from dedupe_spark.operators.textstats import repetition_stats
+
+    r = repetition_stats(_df(spark, ["solo"])).first()
+    assert r["top_word_frac"] == 1.0
+    assert r["top_bigram_frac"] is None
+    assert r["dup_trigram_frac"] is None
