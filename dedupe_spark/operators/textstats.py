@@ -161,18 +161,13 @@ def repetition_stats(
     )
 
     def grams(width: int) -> Column:
+        # zip_with aligned-slice fold (decontam.gram_fold): a handful of
+        # array kernels instead of an interpreted per-element lambda —
+        # measured 86 s → 3 s for this query at sf0.1.
+        from dedupe_spark.operators.decontam import gram_fold
+
         return F.when(
-            F.col("n_tokens") >= width,
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - width),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("toks"), i + off + 1)
-                        for off in range(width)
-                    ],
-                ),
-            ),
+            F.col("n_tokens") >= width, gram_fold(F.col("toks"), width)
         )
 
     base = base.withColumn("bgs", grams(2)).withColumn("tgs", grams(3))
@@ -243,6 +238,62 @@ def shingle_fingerprints(
     return grams.groupBy("id").agg(
         F.min(F.md5(F.col("gram"))).alias("fingerprint"),
         F.count_distinct("gram").alias("n_distinct_shingles"),
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    keep_frac: float = 0.4,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by quality score — the
+    CCNet-style per-language quantile gate (Wenzek et al., LREC 2020:
+    per-language perplexity quantiles decide head/middle/tail buckets).
+    A single global threshold would let the quality prior of one dominant
+    language filter the others; the gate must be computed per group.
+
+    Scale shape: the corpus does ONE partial aggregation down to a tiny
+    (group, score) histogram — the score is rounded to 4 decimals, so the
+    histogram's cardinality is bounded regardless of corpus size. The
+    empirical-CDF threshold is computed with windows over that histogram
+    (rows = distinct scores per group, not documents) and broadcast back.
+    No per-group global sort of raw rows, and no interpolated percentile:
+    the threshold is the score at ascending rank N_g - ceil(keep_frac*N_g) + 1
+
+        thresh(g) = min{ s : #(score <= s) >= N_g - ceil(keep_frac * N_g) + 1 }
+
+    so with all-distinct scores exactly ceil(keep_frac*N_g) docs survive,
+    and ties at the threshold survive inclusively (better to keep a few
+    extra borderline docs than to drop half a tie class arbitrarily). Pure
+    integer/count arithmetic, so an independent engine (the DuckDB
+    oracle twin) reproduces it exactly — unlike percentile interpolation,
+    whose float semantics differ across engines.
+    """
+    scored = df.withColumn("quality_score", quality_score_col(F.col(text_col)))
+    hist = scored.groupBy(group_col, "quality_score").agg(
+        F.count("*").alias("_c")
+    )
+    w_cdf = (
+        Window.partitionBy(group_col)
+        .orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(group_col)
+    cdf = hist.withColumn("_cum", F.sum("_c").over(w_cdf)).withColumn(
+        "_n", F.sum("_c").over(w_tot)
+    )
+    keep_cnt = F.ceil(F.lit(keep_frac) * F.col("_n"))
+    thresh = (
+        cdf.filter(F.col("_cum") >= F.col("_n") - keep_cnt + 1)
+        .groupBy(group_col)
+        .agg(F.min("quality_score").alias("_thresh"))
+    )
+    return (
+        scored.join(F.broadcast(thresh), group_col)
+        .filter(F.col("quality_score") >= F.col("_thresh"))
+        .drop("_thresh")
     )
 
 

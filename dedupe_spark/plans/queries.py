@@ -599,6 +599,192 @@ ORDER BY a.doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 Appendix C shape): every 20th doc
+    plays the eval benchmark; the rest are the training corpus. A corpus
+    doc is contaminated if any of its word trigrams appears anywhere in
+    the benchmark. Benchmark grams broadcast; corpus does one doc-keyed
+    shuffle."""
+    from dedupe_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(
+        corpus, bench, id_col="doc_id", text_col="text", n=3, min_overlap=1
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(len(toks)-2), i ->
+        array_to_string(toks[i+1:i+3], ' ')))
+    ELSE [] END AS grams
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram, 1 AS hit FROM g WHERE doc_id % 20 = 0
+), corpus AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0
+), agg AS (
+  SELECT c.doc_id,
+         count(c.gram) AS n_grams,
+         count(b.hit) AS matched_grams
+  FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.matched_grams, 0) AS matched_grams,
+       coalesce(a.matched_grams, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality-quantile gate: keep the top 40%
+    of each language by quality score. Exact type-1 quantile over a
+    (lang, score) histogram — no raw-data sort, threshold broadcast
+    back (Wenzek et al. 2020)."""
+    from dedupe_spark.operators.textstats import quality_percentile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quality_percentile_filter(
+        docs, text_col="text", group_col="lang", keep_frac=0.4
+    )
+    return kept.select("doc_id", "lang", "quality_score").orderBy("doc_id")
+
+
+SQL_QUALITY_FILTER = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS n_distinct,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+             ['the','a','of','and','to','value','is','in'])) AS stop_hits,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         round(greatest(0.0,
+             0.35*least(100.0, log10(greatest(n_chars, 1)) / 4 * 100)
+           + 0.35*least(100.0, log10(n_words + 1) / 3 * 100)
+           + 30*(stop_hits * 1.0 / greatest(n_distinct, 1))
+           - 50*(punct * 1.0 / greatest(n_chars, 1))), 4) AS quality_score
+  FROM feats
+), hist AS (
+  SELECT lang, quality_score, count(*) AS c FROM scored GROUP BY 1, 2
+), cdf AS (
+  SELECT lang, quality_score,
+         sum(c) OVER (PARTITION BY lang ORDER BY quality_score) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), th AS (
+  SELECT lang, min(quality_score) AS thresh
+  FROM cdf WHERE cum >= n - ceil(0.4 * n) + 1 GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_score
+FROM scored s JOIN th USING (lang)
+WHERE s.quality_score >= th.thresh
+ORDER BY s.doc_id
+"""
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped into multi-line texts: 10-token chunk lines
+    framed by a per-source banner and a per-lang footer. The testdata's
+    texts are single-line, so line-level operators need structure; banner
+    and footer are *real* cross-document boilerplate (25 docs share each
+    source banner, ~100 each lang footer) that the cleaner must find.
+    Construction is pure array math, reproduced verbatim in the oracle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), "\\s+")
+    n_chunks = F.ceil(F.size(t) / F.lit(10.0)).cast("int")
+    chunked = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(t, i * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit("== "), F.col("source"), F.lit(" banner =="), F.lit("\n"),
+            chunked,
+            F.lit("\n"), F.lit("("), F.col("lang"), F.lit(") footer"),
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet line-level boilerplate removal: lines appearing in more
+    than 2 documents are stripped; order and original whitespace of
+    surviving lines preserved, row count preserved exactly."""
+    from dedupe_spark.operators.boilerplate import remove_boilerplate_lines
+
+    docs = _multiline_docs(spark, sf_dir)
+    out = remove_boilerplate_lines(docs, max_docs=2)
+    return out.select("doc_id", "text", "n_lines", "n_removed").orderBy(
+        "doc_id"
+    )
+
+
+# The same multi-line construction, inlined, then the same removal rule:
+# doc-distinct line frequency -> ban df > 2 -> reassemble by position.
+SQL_BOILERPLATE_REMOVAL = """
+WITH ml AS (
+  SELECT doc_id,
+         '== ' || source || ' banner ==' || chr(10) ||
+         array_to_string(list_transform(range(cast(ceil(len(t)/10.0) AS int)),
+           i -> array_to_string(t[i*10+1:i*10+10], ' ')), chr(10)) ||
+         chr(10) || '(' || lang || ') footer' AS text
+  FROM (SELECT doc_id, lang, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS raw,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM ml
+), t AS (
+  SELECT doc_id, pos, raw, trim(raw) AS line FROM lines
+), banned AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df
+    FROM t WHERE line <> '' GROUP BY line
+  ) WHERE df > 2
+), kept AS (
+  SELECT doc_id, pos, raw FROM t
+  WHERE line NOT IN (SELECT line FROM banned)
+), clean AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_lines FROM t GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(c.text, '') AS text,
+       tt.n_lines,
+       tt.n_lines - coalesce(c.n_kept, 0) AS n_removed
+FROM ml m
+JOIN totals tt USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting (training-data ops; reference
     quality_assessor.py:94-105 weighted-sum analog)."""
@@ -1706,6 +1892,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+        "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
