@@ -785,6 +785,128 @@ ORDER BY m.doc_id
 """
 
 
+def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup, first occurrence survives corpus-wide
+    (Lee et al. ACL 2022 / MassiveText repeated-passage removal). Runs on
+    the multi-line reshaping, whose banner/footer lines are *real*
+    cross-document repeats the op must collapse to one occurrence."""
+    from dedupe_spark.operators.paradedup import dedupe_paragraphs
+
+    docs = _multiline_docs(spark, sf_dir)
+    out = dedupe_paragraphs(docs, id_col="doc_id", text_col="text")
+    return out.select("doc_id", "text", "n_paras", "n_dropped").orderBy(
+        "doc_id"
+    )
+
+
+# Same multi-line construction, then: first (doc_id, pos) per trimmed
+# paragraph survives, blanks always survive, positional reassembly.
+SQL_PARAGRAPH_DEDUPE = """
+WITH ml AS (
+  SELECT doc_id,
+         '== ' || source || ' banner ==' || chr(10) ||
+         array_to_string(list_transform(range(cast(ceil(len(t)/10.0) AS int)),
+           i -> array_to_string(t[i*10+1:i*10+10], ' ')), chr(10)) ||
+         chr(10) || '(' || lang || ') footer' AS text
+  FROM (SELECT doc_id, lang, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS raw,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM ml
+), t AS (
+  SELECT doc_id, pos, raw, trim(raw) AS line FROM lines
+), ranked AS (
+  SELECT doc_id, pos, raw,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM t WHERE line <> ''
+), kept AS (
+  SELECT doc_id, pos, raw FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, raw FROM t WHERE line = ''
+), clean AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_paras FROM t GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(c.text, '') AS text,
+       tt.n_paras,
+       tt.n_paras - coalesce(c.n_kept, 0) AS n_dropped
+FROM ml m
+JOIN totals tt USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers) with per-doc
+    counters. The synthetic corpus carries no PII, so the query plants a
+    deterministic contact line per document — construction reproduced
+    verbatim in the oracle, scrubbing computed independently by each
+    engine from its own regex dialect (patterns restricted to the
+    Java∩RE2 common subset, see operators/pii.py)."""
+    from dedupe_spark.operators.pii import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    out = scrub_pii(planted, text_col="text")
+    return out.select(
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"
+    ).orderBy("doc_id")
+
+
+from dedupe_spark.operators.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from dedupe_spark.operators.pii import IPV4_RE as _IPV4_RE  # noqa: E402
+from dedupe_spark.operators.pii import PHONE_RE as _PHONE_RE  # noqa: E402
+
+SQL_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR) || '.' AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM planted
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS text,
+       len(regexp_extract_all(t0, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t1, '{_IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(t2, '{_PHONE_RE}')) AS n_phones
+FROM s2
+ORDER BY doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting (training-data ops; reference
     quality_assessor.py:94-105 weighted-sum analog)."""
@@ -1895,6 +2017,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
+        "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
