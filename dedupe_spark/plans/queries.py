@@ -907,6 +907,42 @@ ORDER BY doc_id
 """
 
 
+def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: global token offset
+    and first/last training-chunk per document, via the two-pass
+    distributed prefix sum (no single-task global window — see
+    operators/packing.py)."""
+    from dedupe_spark.operators.packing import pack_offsets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_tokens"),
+    )
+    return pack_offsets(
+        docs, id_col="doc_id", token_col="n_tokens", seq_len=512
+    ).orderBy("doc_id")
+
+
+SQL_PACK_OFFSETS = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 512 AS first_chunk,
+       CASE WHEN n_tokens > 0
+            THEN (start_off + n_tokens - 1) // 512 END AS last_chunk
+FROM o
+ORDER BY doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting (training-data ops; reference
     quality_assessor.py:94-105 weighted-sum analog)."""
@@ -2019,6 +2055,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+        "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
