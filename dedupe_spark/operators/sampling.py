@@ -67,6 +67,44 @@ def deterministic_sample(
     return df.filter(_hash_key(id_col) < cutoff)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group content-stable Bernoulli sampling — the data-mixing
+    primitive of corpus construction (up-/down-weighting sources or
+    languages, as in The Pile / Llama data recipes). ``rates`` maps a
+    group value to its keep rate; unlisted groups get ``default_rate``.
+
+    Same md5-prefix draw as ``deterministic_sample`` (stable across runs,
+    partitionings, engines), selected per row by a broadcast-free CASE
+    chain — the rate table is a query constant, so the whole operator is
+    one codegen'd filter, no shuffle, no join. A group rated 1.0 keeps
+    every row (the 4-hex cutoff caps at the max key; see
+    ``deterministic_sample`` for the '10000' pitfall).
+    """
+    for g, r in rates.items():
+        if not (0 <= r <= 1):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not (0 <= default_rate <= 1):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+
+    def cutoff(rate: float) -> Column:
+        # 'ffff' < 'g': 4-hex keys all sort below 'g', so rate 1.0 keeps all
+        return F.lit("g" if rate >= 1.0 else format(int(rate * 65536), "04x"))
+
+    cut = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == g
+        cut = F.when(cond, cutoff(r)) if cut is None else cut.when(cond, cutoff(r))
+    cut = cutoff(default_rate) if cut is None else cut.otherwise(cutoff(default_rate))
+    return df.filter(_hash_key(id_col) < cut)
+
+
 if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     import sys
 

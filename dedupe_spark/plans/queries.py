@@ -907,6 +907,36 @@ ORDER BY doc_id
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sample: per-language keep rates (the Pile/Llama corpus
+    recipe primitive), content-stable md5 draw, one codegen'd filter."""
+    from dedupe_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.1},
+        default_rate=0.25,
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang
+        WHEN 'de' THEN 'g'
+        WHEN 'en' THEN '8000'
+        WHEN 'fr' THEN '1999'
+        ELSE '4000'
+      END
+ORDER BY doc_id
+"""
+
+
 def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: global token offset
     and first/last training-chunk per document, via the two-pass
@@ -2056,6 +2086,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

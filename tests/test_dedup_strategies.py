@@ -432,3 +432,33 @@ def test_simhash_dedupe_128bit_same_clusters_on_planted_corpus(spark):
         }
         assert {out[str(i)] for i in range(20)} == {"0"}, bits
         assert {out[str(40 + i)] for i in range(5)} == {"40"}, bits
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    import pytest
+
+    from dedupe_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, ["en", "de", "fr", "zz"][i % 4]) for i in range(2000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.0},
+        default_rate=0.25,
+    )
+    by_lang = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert by_lang["de"] == 500          # rate 1.0 keeps every row
+    assert "fr" not in by_lang           # rate 0.0 keeps none
+    assert 150 < by_lang["en"] < 350     # ~0.5 of 500
+    assert 60 < by_lang["zz"] < 190      # default 0.25 of 500
+    # same draw as the unstratified sampler: en@0.5 == Bernoulli(0.5) subset
+    en = docs.filter("lang = 'en'")
+    assert sorted(
+        r["doc_id"] for r in kept.filter("lang = 'en'").collect()
+    ) == sorted(
+        r["doc_id"] for r in deterministic_sample(en, "doc_id", rate=0.5).collect()
+    )
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
