@@ -844,6 +844,71 @@ ORDER BY m.doc_id
 """
 
 
+def q_span_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact-substring dedup (Lee et al. ACL 2022 §4.1 "exact
+    substring" pass, MapReduce-shaped): every repeated 8-token span keeps
+    only its corpus-wide first occurrence; later occurrences are cut from
+    the token stream. Runs on raw documents — the testdata's exact-dup
+    families are full-document repeats the op must reduce to one copy,
+    and its near-dup families share long runs that straddle any paragraph
+    structure (which is what distinguishes this from paragraph_dedupe)."""
+    from dedupe_spark.operators.spandedup import dedupe_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedupe_spans(docs, id_col="doc_id", text_col="text", window=8)
+    return out.select("doc_id", "text", "n_tokens", "n_removed").orderBy(
+        "doc_id"
+    )
+
+
+# Same semantics re-derived from scratch: 1-based window positions, the
+# window TEXT itself as the equality key (the engine hashes it — identical
+# equality classes), first (doc_id, pos) survives, losers' token coverage
+# unioned, positional reassembly. w = 8.
+SQL_SPAN_DEDUPE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 8 + 2),
+                i -> array_to_string(t[i:i+7], ' '))) AS key,
+         unnest(range(1, len(t) - 8 + 2)) AS pos
+  FROM toks WHERE len(t) >= 8
+), ranked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY key) AS cnt,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM wins
+), covered AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS tok
+        FROM ranked WHERE cnt >= 2 AND rn > 1)
+), tokens AS (
+  SELECT doc_id, unnest(t) AS token, unnest(range(1, len(t) + 1)) AS tok
+  FROM toks
+), kept AS (
+  SELECT k.doc_id, k.tok, k.token
+  FROM tokens k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tok = c.tok
+  WHERE c.doc_id IS NULL
+), clean AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY tok) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(t) AS n_tokens FROM toks
+)
+SELECT d.doc_id,
+       coalesce(c.text, '') AS text,
+       coalesce(tt.n_tokens, 0) AS n_tokens,
+       coalesce(tt.n_tokens, 0) - coalesce(c.n_kept, 0) AS n_removed
+FROM documents d
+LEFT JOIN totals tt USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails / IPv4 / phone numbers) with per-doc
     counters. The synthetic corpus carries no PII, so the query plants a
@@ -2084,6 +2149,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
+        "span_dedupe": (q_span_dedupe, SQL_SPAN_DEDUPE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

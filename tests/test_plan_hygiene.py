@@ -34,7 +34,13 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_jvm_only_queries_have_no_python_eval(spark):
-    for name in ["token_count", "text_quality", "lang_id", "binary_metadata"]:
+    for name in [
+        "token_count",
+        "text_quality",
+        "lang_id",
+        "binary_metadata",
+        "span_dedupe",
+    ]:
         plan = _plan(registry()[name][0](spark, SF))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
