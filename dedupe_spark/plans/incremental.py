@@ -49,9 +49,11 @@ def incremental_update(
     cfg: PipelineConfig,
     *,
     catalog: Catalog | None = None,
-) -> dict[str, int]:
+) -> dict:
     """Append ``new_files`` to an existing completed run and refresh its
-    cluster assignment. Returns per-stage row counts for the report.
+    cluster assignment. Returns per-stage row counts for the report,
+    plus ``stage_seconds`` (wall time per stage — makes the O(corpus)
+    columnar floor vs batch-proportional split measurable, not claimed).
 
     Requires the run's ``fingerprints`` checkpoint to exist (a fresh run
     should use ``StagedPipeline.run``).
@@ -64,7 +66,17 @@ def incremental_update(
             "checkpoint missing — use StagedPipeline.run for the first batch"
         )
 
-    counts: dict[str, int] = {}
+    counts: dict = {}
+    stage_seconds: dict[str, float] = {}
+    import time
+
+    _t0 = time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        stage_seconds[stage] = round(now - _t0, 3)
+        _t0 = now
 
     # 1. fingerprint ONLY the new batch; append rows whose file_id is not
     #    already present (re-submitting a batch must be a no-op, never a
@@ -80,6 +92,7 @@ def incremental_update(
     ).join(existing, "file_id", "left_anti")
     total = cat.append(fp_new, pipe._tbl("fingerprints"))
     counts["fingerprints_appended"] = total - before
+    _mark("fingerprints")
     fp_all = cat.read(pipe._tbl("fingerprints"))
     # new file_ids via the id projection only — no second UDF pass
     from dedupe_spark.functions.fingerprint import file_id_col
@@ -89,17 +102,26 @@ def incremental_update(
     # 2. exact tier over the full (appended) table — one sha shuffle
     eg = exact_groups(fp_all)
     counts["exact"] = cat.write(eg, pipe._tbl("exact"))
+    _mark("exact")
 
     # 3. bucket the full rep set once (cheap explode); candidates = NEW
-    #    reps vs ALL buckets — old-vs-old pairs are never regenerated
+    #    reps vs ALL buckets — old-vs-old pairs are never regenerated.
+    #    Write-then-read-back: the checkpoint write IS the single
+    #    materialization, and both join sides below read the columnar
+    #    parquet (an eager localCheckpoint here would materialize the
+    #    same ~bands×corpus rows a second time into executor RAM).
     reps = fp_all.join(
         eg.filter(F.col("file_id") == F.col("exact_rep")).select("file_id"),
         "file_id",
     )
-    buckets = lsh_buckets(
-        reps, max_bucket_size=cfg.max_bucket_size, bucket_salt=cfg.bucket_salt
-    ).localCheckpoint(eager=True)
-    counts["buckets"] = cat.write(buckets, pipe._tbl("buckets"))
+    counts["buckets"] = cat.write(
+        lsh_buckets(
+            reps, max_bucket_size=cfg.max_bucket_size, bucket_salt=cfg.bucket_salt
+        ),
+        pipe._tbl("buckets"),
+    )
+    buckets = cat.read(pipe._tbl("buckets"))
+    _mark("buckets")
     new_buckets = buckets.join(new_ids, "file_id", "left_semi")
 
     nb, ab = new_buckets.alias("nb"), buckets.alias("ab")
@@ -142,11 +164,13 @@ def incremental_update(
     )
     cat.append(fresh, pipe._tbl("edges"))
     counts["edges_total"] = cat.rows(pipe._tbl("edges")) or 0
+    _mark("edges")
 
     # 5. clustering + assignment over the full (small) edge set
     edges = cat.read(pipe._tbl("edges"))
     labels = connected_components(edges, max_iterations=cfg.cc_max_iterations)
     counts["labels"] = cat.write(labels, pipe._tbl("labels"))
+    _mark("labels")
 
     rep_label = cat.read(pipe._tbl("labels")).withColumnRenamed(
         "file_id", "exact_rep"
@@ -167,4 +191,6 @@ def incremental_update(
         order_cols=order_cols_for(cfg.rep_order),
     )
     counts["assignment"] = cat.write(out, pipe._tbl("assignment"))
+    _mark("assignment")
+    counts["stage_seconds"] = stage_seconds
     return counts

@@ -99,6 +99,7 @@ def run_leg(leg: str, cores: int, sf_dir: str, expand: int, warehouse: str) -> d
         out["seconds"] = round(time.perf_counter() - t0, 3)
         out["appended"] = counts.get("fingerprints_appended")
         out["corpus_after"] = counts.get("assignment")
+        out["stage_seconds"] = counts.get("stage_seconds", {})
     out["files_per_sec"] = round(n_files / out["seconds"], 1)
     spark.stop()
     return out
