@@ -114,6 +114,56 @@ def lsh_buckets(
     )
 
 
+def lsh_bucket_delta(
+    fp_new_reps: DataFrame, existing_buckets: DataFrame, *, bucket_salt: int
+) -> DataFrame:
+    """Band-explode ONLY a batch of new representatives, salting each row
+    consistently with the already-written bucket table.
+
+    ``lsh_buckets`` decides hotness from a global count over its input; a
+    delta batch cannot see global sizes without the corpus-wide groupBy this
+    path exists to avoid. Instead, a bucket is treated as hot iff its
+    existing rows are salted (``max(salt) > 0`` among rows sharing the band
+    key — detected via a scan of the bucket table semi-joined to the
+    delta's band keys, so the aggregation is delta-bounded). The salt
+    formula is the same pure per-(band, file) hash as ``lsh_buckets``, so a
+    delta row lands in exactly the sub-bucket its old co-members occupy.
+
+    Deliberate staleness tradeoff (documented for the 100-TB design): a
+    bucket that only becomes hot through appended deltas keeps salt 0 until
+    the next full rebucketing (StagedPipeline re-run from the ``buckets``
+    stage — the compaction analog). Within-bucket work stays bounded
+    regardless, because candidate generation ranks and caps neighbors per
+    (file, band).
+    """
+    exploded = fp_new_reps.select(
+        "file_id",
+        "simhash",
+        F.posexplode("band_keys").alias("band_id", "band_hash"),
+    )
+    delta_keys = exploded.select("band_id", "band_hash").distinct()
+    hot = (
+        existing_buckets.join(
+            F.broadcast(delta_keys), ["band_id", "band_hash"], "left_semi"
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.max("salt").alias("_mx"))
+        .filter(F.col("_mx") > 0)
+        .select("band_id", "band_hash", F.lit(True).alias("_hot"))
+    )
+    return (
+        exploded.join(F.broadcast(hot), ["band_id", "band_hash"], "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.xxhash64("file_id", "band_id"), F.lit(bucket_salt)),
+            ).otherwise(F.lit(0)),
+        )
+        .select("band_id", "band_hash", "salt", "file_id", "simhash")
+    )
+
+
 def candidate_pairs(
     buckets: DataFrame,
     *,

@@ -3,44 +3,86 @@
 The reference rescans and re-compares its whole directory every run; the
 staged warehouse exists so we never have to. ``incremental_update``
 appends a new batch to an existing run's checkpoints and recomputes only
-what the new rows can change:
+what the new rows can change. Per-stage cost model (the 100-TB contract —
+"batch" below means the appended rows plus the clusters they touch):
 
-    fingerprints   new batch only (Arrow UDF) → append
-    exact          sha groupBy over the (appended) fingerprint table —
-                   one cheap shuffle, recomputed (groups can merge)
-    new candidates band keys of the NEW reps joined against the FULL
-                   bucket table (old + new) — old-vs-old pairs are never
-                   regenerated; per-(new file, band) candidate bound +
-                   in-join Hamming prefilter as in the batch path
-    edges          score only the new candidate pairs → append
-    labels         connected components over the full edge table — edges
-                   are match-scale (≪ corpus), so full CC is the cheap,
-                   correct choice (a new edge can merge two old clusters;
-                   incremental CC union-find is driver-state, not Spark)
-    assignment     rebuilt from exact ∪ labels as in the batch path
+    fingerprints   batch-only Arrow UDF; anti-join on file_id for
+                   idempotence; the batch is staged to a scratch table so
+                   a crashed update can be replayed exactly
+    exact          only sha groups CONTAINING a new sha are regrouped
+                   (broadcast semi-join against the batch's sha set);
+                   untouched rows are carried over with a scan, no shuffle
+    buckets        append-only: band keys for reps that are NEW to the
+                   bucket table (a rep change inside an old group can only
+                   promote a new file, so the delta is batch-sized).
+                   Dethroned reps' rows stay — stale rows are harmless
+                   (they only add candidates inside the same exact group)
+                   and removal would need a corpus-wide rewrite. Hot-bucket
+                   salting stays consistent with the existing table via
+                   ``lsh_bucket_delta``.
+    candidates     batch bucket rows BROADCAST against a scan of the full
+                   bucket table — the big side is never shuffled; bounded
+                   per-(new file, band) linking as in the batch path.
+                   Rep succession inside touched groups adds an explicit
+                   (old_rep, new_rep) pair so the new rep provably inherits
+                   the old rep's component (not just with high probability
+                   through LSH collisions).
+    edges          score only the new pairs against features PREFETCHED for
+                   the pair endpoints (semi-join, batch-bounded) → append
+    labels         connected components over star edges derived from the
+                   OLD labels (component, file_id) ∪ the fresh edges — the
+                   same components and min-ids as full CC over all edges,
+                   but the input is labels-sized, star-shaped (diameter 2),
+                   and converges in ~1 round
+    assignment     rewritten only for AFFECTED files: members of touched
+                   sha groups plus every file whose exact_rep sits in a
+                   component containing a touched rep (whole clusters, so
+                   representative re-election sees complete partitions);
+                   untouched rows are carried over with an anti-join
+
+The corpus-proportional residue is scans (column-pruned parquet) and the
+narrow carried-over writes of exact/assignment — no corpus-wide shuffle,
+no corpus-wide UDF work. On a lakehouse table format the carried-over
+writes become partition-level commits; here they are plain parquet
+rewrites, disclosed in BENCH/BASELINE.md.
 
 Equivalence contract: because candidate recall is threshold-complete for
 planted families (every true pair passes blocking + consensus), two-batch
 incremental ingestion produces the same clusters as a one-shot run on the
 union — asserted by tests/test_incremental.py against the golden oracle.
+
+Crash safety: the batch is staged to ``{run_id}/fp_batch`` before the
+fingerprint append and dropped only after the assignment commit. A retry
+of a crashed update finds the batch already appended (anti-join yields
+nothing) but the scratch table non-empty, and replays the downstream
+stages from it; every downstream step is idempotent (exact regroup is
+deterministic, bucket delta anti-joins already-bucketed reps, edge append
+anti-joins existing edges, labels/assignment are deterministic replaces).
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedupe_spark.config import PipelineConfig
 from dedupe_spark.functions.fingerprint import with_fingerprints
-from dedupe_spark.operators.blocking import exact_groups, lsh_buckets
+from dedupe_spark.operators.blocking import exact_groups, lsh_bucket_delta
 from dedupe_spark.operators.cc import connected_components
 from dedupe_spark.operators.representative import (
     order_cols_for,
     with_representative,
 )
-from dedupe_spark.operators.scoring import score_pairs
+from dedupe_spark.operators.scoring import PAIR_FEATURES, score_pairs
 from dedupe_spark.plans.staged import StagedPipeline
 from dedupe_spark.sources.catalog import Catalog
+
+# above this many affected file_ids, stop broadcasting the affected set and
+# let the carried-over joins shuffle (a broadcast of tens of millions of
+# string ids would strain the driver more than a narrow exchange)
+_BROADCAST_AFFECTED_MAX = 2_000_000
 
 
 def incremental_update(
@@ -52,8 +94,8 @@ def incremental_update(
 ) -> dict:
     """Append ``new_files`` to an existing completed run and refresh its
     cluster assignment. Returns per-stage row counts for the report,
-    plus ``stage_seconds`` (wall time per stage — makes the O(corpus)
-    columnar floor vs batch-proportional split measurable, not claimed).
+    plus ``stage_seconds`` (wall time per stage — makes the batch-bounded
+    vs corpus-bounded split measurable, not claimed).
 
     Requires the run's ``fingerprints`` checkpoint to exist (a fresh run
     should use ``StagedPipeline.run``).
@@ -68,8 +110,6 @@ def incremental_update(
 
     counts: dict = {}
     stage_seconds: dict[str, float] = {}
-    import time
-
     _t0 = time.perf_counter()
 
     def _mark(stage: str) -> None:
@@ -78,10 +118,11 @@ def incremental_update(
         stage_seconds[stage] = round(now - _t0, 3)
         _t0 = now
 
-    # 1. fingerprint ONLY the new batch; append rows whose file_id is not
-    #    already present (re-submitting a batch must be a no-op, never a
-    #    duplicate row — the idempotence contract resume depends on)
-    before = cat.rows(pipe._tbl("fingerprints")) or 0
+    fpb_tbl = pipe._tbl("fp_batch")
+
+    # 1. fingerprint ONLY the new batch; stage it to a scratch table, then
+    #    append rows whose file_id is not already present (re-submitting a
+    #    batch must be a no-op, never a duplicate row)
     existing = cat.read(pipe._tbl("fingerprints")).select("file_id")
     fp_new = with_fingerprints(
         new_files,
@@ -90,52 +131,114 @@ def incremental_update(
         bands=cfg.lsh_bands,
         rows=cfg.lsh_rows,
     ).join(existing, "file_id", "left_anti")
-    total = cat.append(fp_new, pipe._tbl("fingerprints"))
-    counts["fingerprints_appended"] = total - before
+
+    if not fp_new.isEmpty():
+        cat.write(fp_new, fpb_tbl)
+        fpb = cat.read(fpb_tbl)
+        counts["fingerprints_appended"] = cat.rows(fpb_tbl) or 0
+        cat.append(fpb, pipe._tbl("fingerprints"))
+    elif cat.exists(fpb_tbl) and (cat.rows(fpb_tbl) or 0) > 0:
+        # a previous update appended this batch but crashed downstream —
+        # replay the remaining stages from the staged batch
+        fpb = cat.read(fpb_tbl)
+        counts["fingerprints_appended"] = 0
+    else:
+        # true no-op (batch already fully applied): report current state
+        counts["fingerprints_appended"] = 0
+        for stage in ("exact", "buckets", "labels", "assignment"):
+            counts[stage] = cat.rows(pipe._tbl(stage)) or 0
+        counts["edges_total"] = cat.rows(pipe._tbl("edges")) or 0
+        _mark("fingerprints")
+        counts["stage_seconds"] = stage_seconds
+        return counts
     _mark("fingerprints")
+
     fp_all = cat.read(pipe._tbl("fingerprints"))
-    # new file_ids via the id projection only — no second UDF pass
-    from dedupe_spark.functions.fingerprint import file_id_col
 
-    new_ids = new_files.select(file_id_col().alias("file_id")).distinct()
-
-    # 2. exact tier over the full (appended) table — one sha shuffle
-    eg = exact_groups(fp_all)
-    counts["exact"] = cat.write(eg, pipe._tbl("exact"))
+    # 2. exact tier over TOUCHED sha groups only. A new row can only change
+    #    the groups of shas it introduces; everything else is carried over.
+    touched_shas = fpb.select("content_sha").distinct()
+    exact_old = cat.read(pipe._tbl("exact"))
+    touched_rows = fp_all.join(
+        F.broadcast(touched_shas), "content_sha", "left_semi"
+    )
+    # batch-bounded and reused by every stage below — materialize once
+    eg_touched = exact_groups(touched_rows).localCheckpoint(eager=True)
+    kept_exact = exact_old.join(
+        F.broadcast(touched_shas), "content_sha", "left_anti"
+    )
+    counts["exact"] = cat.replace(
+        kept_exact.unionByName(eg_touched), pipe._tbl("exact")
+    )
     _mark("exact")
 
-    # 3. bucket the full rep set once (cheap explode); candidates = NEW
-    #    reps vs ALL buckets — old-vs-old pairs are never regenerated.
-    #    Write-then-read-back: the checkpoint write IS the single
-    #    materialization, and both join sides below read the columnar
-    #    parquet (an eager localCheckpoint here would materialize the
-    #    same ~bands×corpus rows a second time into executor RAM).
-    reps = fp_all.join(
-        eg.filter(F.col("file_id") == F.col("exact_rep")).select("file_id"),
-        "file_id",
+    # rep succession: if a new file dethrones a group's representative, link
+    # old rep → new rep explicitly so the new rep inherits the component.
+    # Derived from eg_touched + the batch (not the pre-replace exact table),
+    # so a crash-retry reconstructs the same pairs deterministically:
+    # old_rep = min(file_id) among the group's PRE-BATCH members.
+    succ = (
+        eg_touched.join(
+            F.broadcast(fpb.select("file_id", F.lit(True).alias("_new"))),
+            "file_id",
+            "left",
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("file_id").alias("new_rep"),
+            F.min(F.when(F.col("_new").isNull(), F.col("file_id"))).alias(
+                "old_rep"
+            ),
+        )
+        .filter(
+            F.col("old_rep").isNotNull() & (F.col("new_rep") != F.col("old_rep"))
+        )
+        .select(
+            F.least("new_rep", "old_rep").alias("id1"),
+            F.greatest("new_rep", "old_rep").alias("id2"),
+            F.lit(0).cast("long").alias("n_bands"),
+        )
     )
-    counts["buckets"] = cat.write(
-        lsh_buckets(
-            reps, max_bucket_size=cfg.max_bucket_size, bucket_salt=cfg.bucket_salt
-        ),
-        pipe._tbl("buckets"),
-    )
-    buckets = cat.read(pipe._tbl("buckets"))
-    _mark("buckets")
-    new_buckets = buckets.join(new_ids, "file_id", "left_semi")
 
-    nb, ab = new_buckets.alias("nb"), buckets.alias("ab")
-    joined = (
-        nb.join(ab, ["band_id", "band_hash", "salt"])
-        .filter(F.col("nb.file_id") != F.col("ab.file_id"))
+    # 3. append band keys for reps that are new to the bucket table. Only a
+    #    batch file can become a new rep (old members' relative order never
+    #    changes), so the delta is batch-sized. Anti-join against reps
+    #    already bucketed keeps a crash-retry from double-appending.
+    buckets_old = cat.read(pipe._tbl("buckets"))
+    new_rep_ids = (
+        eg_touched.filter(F.col("file_id") == F.col("exact_rep"))
+        .select("file_id")
+        .join(fpb.select("file_id"), "file_id", "left_semi")
     )
+    already_bucketed = (
+        buckets_old.join(F.broadcast(new_rep_ids), "file_id", "left_semi")
+        .select("file_id")
+        .distinct()
+    )
+    reps_to_bucket = fpb.join(new_rep_ids, "file_id", "left_semi").join(
+        F.broadcast(already_bucketed), "file_id", "left_anti"
+    )
+    delta = lsh_bucket_delta(
+        reps_to_bucket, buckets_old, bucket_salt=cfg.bucket_salt
+    )
+    cat.append(delta, pipe._tbl("buckets"))
+    counts["buckets"] = cat.rows(pipe._tbl("buckets")) or 0
+    _mark("buckets")
+
+    # 4. candidates: the batch's bucket rows (broadcast — the corpus-sized
+    #    bucket table is scanned, never shuffled) against ALL buckets;
+    #    old-vs-old pairs are never regenerated. Same bounded per-(file,
+    #    band) linking and in-join Hamming prefilter as the batch path.
+    buckets_all = cat.read(pipe._tbl("buckets"))
+    nb = buckets_all.join(F.broadcast(new_rep_ids), "file_id", "left_semi")
+    joined = buckets_all.alias("ab").join(
+        F.broadcast(nb.alias("nb")), ["band_id", "band_hash", "salt"]
+    ).filter(F.col("nb.file_id") != F.col("ab.file_id"))
     if cfg.require_agreement >= 2:
         joined = joined.filter(
             F.bit_count(F.col("nb.simhash").bitwiseXOR(F.col("ab.simhash")))
             <= cfg.hamming_threshold
         )
-    # bound candidates per (new file, band): nearest partners in the
-    # per-band hash order, mirroring the batch path's bounded linking
     w = Window.partitionBy("nb.file_id", "band_id").orderBy(
         F.xxhash64("ab.file_id", "band_id"), "ab.file_id"
     )
@@ -147,13 +250,26 @@ def incremental_update(
             F.greatest(F.col("nb.file_id"), F.col("ab.file_id")).alias("id2"),
         )
         .agg(F.count("*").alias("n_bands"))
+        .unionByName(succ)
+        .localCheckpoint(eager=True)
     )
 
-    # 4. score only the new pairs; append to the edge checkpoint (dedup
-    #    against existing edges so a re-submitted batch stays idempotent)
+    # 5. score only the new pairs, with pair-endpoint features prefetched by
+    #    a semi-join (batch-bounded — score_pairs joins feature columns
+    #    twice, which on the raw table would shuffle the corpus twice).
+    pair_ids = (
+        pairs.select(F.col("id1").alias("file_id"))
+        .union(pairs.select(F.col("id2").alias("file_id")))
+        .distinct()
+    )
+    feats = (
+        fp_all.select("file_id", *PAIR_FEATURES)
+        .join(pair_ids, "file_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     new_edges = score_pairs(
         pairs,
-        fp_all,
+        feats,
         hamming_threshold=cfg.hamming_threshold,
         jaccard_threshold=cfg.jaccard_threshold,
         require_agreement=cfg.require_agreement,
@@ -161,23 +277,65 @@ def incremental_update(
     old_edges = cat.read(pipe._tbl("edges"))
     fresh = new_edges.join(
         old_edges.select("id1", "id2"), ["id1", "id2"], "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     cat.append(fresh, pipe._tbl("edges"))
     counts["edges_total"] = cat.rows(pipe._tbl("edges")) or 0
     _mark("edges")
 
-    # 5. clustering + assignment over the full (small) edge set
-    edges = cat.read(pipe._tbl("edges"))
-    labels = connected_components(edges, max_iterations=cfg.cc_max_iterations)
-    counts["labels"] = cat.write(labels, pipe._tbl("labels"))
-    _mark("labels")
-
-    rep_label = cat.read(pipe._tbl("labels")).withColumnRenamed(
-        "file_id", "exact_rep"
+    # 6. labels: CC over star edges from the OLD labels ∪ fresh edges. The
+    #    stars encode the old partition exactly (center = component min and
+    #    a member, so min-ids are preserved); adding the fresh edges makes
+    #    CC(stars ∪ fresh) ≡ CC(old edges ∪ fresh) — with a labels-sized,
+    #    diameter-2 input instead of the whole edge table.
+    labels_old = cat.read(pipe._tbl("labels"))
+    stars = labels_old.select(
+        F.col("component").alias("id1"), F.col("file_id").alias("id2")
     )
-    eg_c = cat.read(pipe._tbl("exact"))
-    assignment = (
-        eg_c.join(rep_label, "exact_rep", "left")
+    labels_new = connected_components(
+        stars.unionByName(fresh.select("id1", "id2")),
+        max_iterations=cfg.cc_max_iterations,
+    )
+    counts["labels"] = cat.replace(labels_new, pipe._tbl("labels"))
+    _mark("labels")
+    labels_new = cat.read(pipe._tbl("labels"))
+
+    # 7. assignment: rewrite only AFFECTED files — members of touched sha
+    #    groups, the whole component of every touched rep (so representative
+    #    re-election always sees complete clusters), and the batch itself
+    #    (errored rows included). Every fresh edge has a touched rep as an
+    #    endpoint, so touched-rep components cover all merges.
+    eg_all = cat.read(pipe._tbl("exact"))
+    seeds = eg_touched.select(
+        F.col("exact_rep").alias("file_id")
+    ).distinct()
+    touched_comps = (
+        labels_new.join(F.broadcast(seeds), "file_id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    affected_reps = labels_new.join(
+        F.broadcast(touched_comps), "component", "left_semi"
+    ).select(F.col("file_id").alias("exact_rep"))
+    affected = (
+        eg_all.join(affected_reps, "exact_rep", "left_semi")
+        .select("file_id")
+        .union(eg_touched.select("file_id"))
+        .union(fpb.select("file_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_affected = affected.count()
+    counts["affected_files"] = n_affected
+    aff = (
+        F.broadcast(affected) if n_affected <= _BROADCAST_AFFECTED_MAX else affected
+    )
+
+    rep_label = labels_new.select(
+        F.col("file_id").alias("exact_rep"), "component"
+    )
+    clus = (
+        eg_all.join(aff, "file_id", "left_semi")
+        .join(rep_label, "exact_rep", "left")
         .withColumn(
             "cluster_id",
             F.when(F.col("component").isNotNull(), F.col("component")).when(
@@ -186,11 +344,19 @@ def incremental_update(
         )
         .select("file_id", "cluster_id")
     )
-    out = with_representative(
-        fp_all.join(assignment, "file_id", "left"),
+    fp_aff = fp_all.join(aff, "file_id", "left_semi")
+    out_aff = with_representative(
+        fp_aff.join(clus, "file_id", "left"),
         order_cols=order_cols_for(cfg.rep_order),
     )
-    counts["assignment"] = cat.write(out, pipe._tbl("assignment"))
+    assignment_old = cat.read(pipe._tbl("assignment"))
+    kept_assign = assignment_old.join(aff, "file_id", "left_anti")
+    counts["assignment"] = cat.replace(
+        kept_assign.unionByName(out_aff), pipe._tbl("assignment")
+    )
     _mark("assignment")
+
+    # batch fully applied — clear the scratch so a resubmission is a no-op
+    cat.drop(fpb_tbl)
     counts["stage_seconds"] = stage_seconds
     return counts

@@ -111,6 +111,37 @@ class Catalog:
     def append(self, df: DataFrame, table: str) -> int:
         return self.write(df, table, mode="append")
 
+    def replace(self, df: DataFrame, table: str) -> int:
+        """Overwrite ``table`` with a plan that may READ ``table`` itself.
+
+        A plain overwrite of a parquet path you are reading deletes the
+        input files before the lazy plan scans them (the classic Spark
+        self-overwrite trap). Here the new data is fully materialized to a
+        sibling ``<table>.__new`` directory first, then swapped in with two
+        directory renames. Under Iceberg this is unnecessary — reads are
+        pinned to the old snapshot — so it degrades to a plain overwrite.
+
+        Crash window: between the two renames the table directory is
+        briefly absent; the manifest entry is only rewritten after the
+        swap, so ``exists()`` (manifest AND path) stays false during the
+        window and a resuming run recomputes the stage rather than reading
+        a half-swapped table.
+        """
+        if self.iceberg:
+            return self.write(df, table)
+        tmp = table + ".__new"
+        shutil.rmtree(self.path(tmp), ignore_errors=True)
+        df.write.mode("overwrite").parquet(self.path(tmp))
+        rows = self.spark.read.parquet(self.path(tmp)).count()
+        old = self.path(table) + ".__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.path(table)):
+            os.rename(self.path(table), old)
+        os.rename(self.path(tmp), self.path(table))
+        shutil.rmtree(old, ignore_errors=True)
+        self._commit(Snapshot(table, rows, time.time(), "replace"))
+        return rows
+
     def read(self, table: str) -> DataFrame:
         if self.iceberg:
             return self.spark.table(self.qualified(table))

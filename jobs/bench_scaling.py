@@ -57,13 +57,16 @@ def run_once(cores: int, sf_dir: str, expand: int) -> dict:
     #   * 2 MB AQE advisory stops coalescing from collapsing bench-scale
     #     (~100 MB) shuffles to 1-2 partitions, which would serialize the
     #     job. (At production scale shuffles are TBs and defaults are right.)
-    local_dir = "/dev/shm/spark-local"
-    # RAM-backed dir: leftover shuffle files from a previous (possibly
-    # crashed) run are resident memory — clear them or they starve the JVM
+    # Per-process dir: a fixed shared path let a concurrently-launched run
+    # rmtree THIS run's live shuffle files mid-job (observed: mid-stage
+    # "shuffle_*.index: No such file or directory"). RAM-backed files are
+    # resident memory, so clean up our own dir on exit instead.
+    local_dir = f"/dev/shm/spark-local-{os.getpid()}"
+    import atexit
     import shutil
 
-    shutil.rmtree(local_dir, ignore_errors=True)
     os.makedirs(local_dir, exist_ok=True)
+    atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
     spark = get_spark(
         app_name=f"bench_scaling[{cores}]", master=f"local[{cores}]",
         shuffle_partitions=256,

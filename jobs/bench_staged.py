@@ -28,6 +28,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
 import shutil
@@ -45,9 +46,11 @@ RUN_ID = "bench_staged"
 def _session(cores: int):
     from dedupe_spark.session import get_spark
 
-    local_dir = "/dev/shm/spark-local-staged"
-    shutil.rmtree(local_dir, ignore_errors=True)
+    # per-process dir (shared fixed paths let concurrent runs rmtree each
+    # other's live shuffle files); cleaned on exit since /dev/shm is RAM
+    local_dir = f"/dev/shm/spark-local-staged-{os.getpid()}"
     os.makedirs(local_dir, exist_ok=True)
+    atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
     spark = get_spark(
         app_name=f"bench_staged[{cores}]",
         master=f"local[{cores}]",
