@@ -47,23 +47,30 @@ DEFAULT_WAREHOUSE = "/dev/shm/dedupe_incr_warehouse"
 RUN_ID = "bench_incr"
 
 
-def _slice(spark, sf_dir: str, lo: int, hi: int):
+def _slice(spark, sf_dir: str, lo: int, hi: int, fresh: bool = False):
     """sf0.1 documents × copies [lo, hi) — same perturbation scheme as
-    bench_scaling, copy indices disjoint across legs."""
+    bench_scaling, copy indices disjoint across legs.
+
+    ``fresh=True`` reverses each document's text, producing families that
+    are near-dups of each other but unrelated to every existing cluster —
+    the realistic "new crawl shard" case, as opposed to the worst case
+    where every appended copy touches an existing family."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     copies = F.explode(F.sequence(F.lit(lo), F.lit(hi - 1))).alias("copy")
+    text = F.reverse(F.col("text")) if fresh else F.col("text")
+    prefix = "fresh_" if fresh else ""
     files = docs.select("doc_id", "lang", "source", "text", copies).select(
         F.col("source").alias("repo"),
-        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("copy")).alias(
-            "path"
-        ),
+        F.concat_ws(
+            "_", F.lit(prefix + ""), F.col("doc_id").cast("string"), F.col("copy")
+        ).alias("path"),
         F.lit("0").alias("commit"),
         "lang",
-        F.concat_ws(
-            " ", F.col("text"), F.concat(F.lit("tag"), F.col("copy"))
-        ).alias("content"),
+        F.concat_ws(" ", text, F.concat(F.lit("tag"), F.col("copy"))).alias(
+            "content"
+        ),
     )
     return files.repartition(256)
 
@@ -82,9 +89,12 @@ def run_leg(leg: str, cores: int, sf_dir: str, expand: int, warehouse: str) -> d
         "base": (0, expand),
         "update_small": (expand, expand + small),
         "update_big": (expand + small, expand + small + big),
+        # fresh leg: copy indices may overlap base's — paths and contents
+        # are disjoint by construction (reversed text, fresh_ path prefix)
+        "update_fresh": (0, small),
     }
     lo, hi = ranges[leg]
-    files = _slice(spark, sf_dir, lo, hi)
+    files = _slice(spark, sf_dir, lo, hi, fresh=(leg == "update_fresh"))
     n_files = files.count()
     out: dict = {"leg": leg, "cores": cores, "n_files": n_files}
 
@@ -142,7 +152,7 @@ def main() -> None:
         return
 
     results = {}
-    for leg in ("base", "update_small", "update_big"):
+    for leg in ("base", "update_fresh", "update_small", "update_big"):
         results[leg] = run_subprocess(leg, args)
         print(json.dumps(results[leg]), flush=True)
     shutil.rmtree(args.warehouse, ignore_errors=True)
@@ -150,6 +160,8 @@ def main() -> None:
         "cores": args.cores,
         "base_files": results["base"]["n_files"],
         "base_s": results["base"]["seconds"],
+        "update_fresh_files": results["update_fresh"]["n_files"],
+        "update_fresh_s": results["update_fresh"]["seconds"],
         "update_small_files": results["update_small"]["n_files"],
         "update_small_s": results["update_small"]["seconds"],
         "update_big_files": results["update_big"]["n_files"],
