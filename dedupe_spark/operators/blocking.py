@@ -172,41 +172,55 @@ def candidate_pairs(
 ) -> DataFrame:
     """Bounded within-bucket linking → distinct candidate pairs (id1 < id2).
 
-    Each bucket member is ranked by a per-band random order and joined to
-    its ``neighbors_per_band`` successors; optional in-join Hamming
-    prefilter (see module docstring). Cross-band duplicates collapse via
-    groupBy, which also yields ``n_bands`` — how many band-windows proposed
-    the pair — free LSH evidence for the edge checkpoint.
+    Each bucket member is ranked by a per-band random order and linked to
+    its ``neighbors_per_band`` successors in that order; optional Hamming
+    prefilter applied before the pair ever shuffles (see module docstring).
+    Cross-band duplicates collapse via groupBy, which also yields
+    ``n_bands`` — how many band-windows proposed the pair — free LSH
+    evidence for the edge checkpoint.
+
+    Successors come from ``lead(i)`` over the SAME sorted window pass —
+    not from a rank self-join. The r1-r3 design joined the ranked table to
+    itself on the bucket key and filtered to ``a.rn < b.rn <= a.rn + k``;
+    a sort-merge join on the bucket key materializes Σ bucket_n² rows
+    BEFORE that rank-range predicate can prune (an inequality can't be a
+    join key), so a salted-to-2000 bucket still emitted 4M intermediate
+    rows. Measured at 100k files/local[8] (r4 slow-regime host): 90.8 s
+    for the join form vs 19.0 s for this one, identical 1,018,526 output
+    pairs — and the gap widens with family size since lead emits exactly
+    n·k rows regardless of bucket shape. One sort, no join, no quadratic
+    intermediate; this is the plan shape a 100-TB run needs.
 
     ``least/greatest`` orient each pair as id1 < id2 (the reference's
     triangular ``j > i``, duplicate_detector.py:76) regardless of the
     random rank order, so cross-band dedup is well-keyed.
-
-    Callers should persist/materialize ``buckets`` first: both join sides
-    reference it, and an unpersisted frame would recompute the band
-    explosion twice.
     """
     w = Window.partitionBy("band_id", "band_hash", "salt").orderBy(
         F.xxhash64("file_id", "band_id"), "file_id"
     )
-    ranked = buckets.withColumn("rn", F.row_number().over(w))
-    a, b = ranked.alias("a"), ranked.alias("b")
-    joined = (
-        a.join(b, ["band_id", "band_hash", "salt"])
-        .filter(
-            (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + neighbors_per_band)
-        )
+    succ = F.array(
+        *[
+            F.struct(
+                F.lead("file_id", i).over(w).alias("pid"),
+                F.lead("simhash", i).over(w).alias("psim"),
+            )
+            for i in range(1, neighbors_per_band + 1)
+        ]
+    )
+    linked = (
+        buckets.select("file_id", "simhash", succ.alias("succ"))
+        .select("file_id", "simhash", F.explode("succ").alias("s"))
+        .filter(F.col("s.pid").isNotNull())
     )
     if hamming_prefilter is not None:
-        joined = joined.filter(
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        linked = linked.filter(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("s.psim")))
             <= hamming_prefilter
         )
     return (
-        joined.groupBy(
-            F.least(F.col("a.file_id"), F.col("b.file_id")).alias("id1"),
-            F.greatest(F.col("a.file_id"), F.col("b.file_id")).alias("id2"),
+        linked.groupBy(
+            F.least(F.col("file_id"), F.col("s.pid")).alias("id1"),
+            F.greatest(F.col("file_id"), F.col("s.pid")).alias("id2"),
         )
         .agg(F.count("*").alias("n_bands"))
     )

@@ -37,8 +37,9 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     Stages (each one or zero shuffles — SURVEY.md §4.3):
       1. fingerprint     narrow, Arrow batches
       2. exact tier      1 shuffle on content_sha (groupBy)
-      3. LSH tier        explode ×bands, 1 shuffle on band key (self-join)
-                         — over DISTINCT contents only (super-nodes)
+      3. LSH tier        explode ×bands, 1 shuffle on band key (window
+                         lead-linking, no self-join) — over DISTINCT
+                         contents only (super-nodes)
       4. score           joins on id (shuffle), then codegen'd expressions
       5. CC              ~2-4 iterations × (join + groupBy), checkpointed
       6. representative  1 shuffle on cluster_id (window)
@@ -75,7 +76,7 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     )
     buckets = lsh_buckets(
         reps, max_bucket_size=cfg.max_bucket_size, bucket_salt=cfg.bucket_salt
-    ).cache()  # both sides of the self-join read it — don't explode twice
+    )  # single consumer since the lead-based linking (no self-join) — no cache
     pairs = candidate_pairs(
         buckets,
         neighbors_per_band=cfg.neighbors_per_band,

@@ -228,11 +228,36 @@ def incremental_update(
     # 4. candidates: the batch's bucket rows (broadcast — the corpus-sized
     #    bucket table is scanned, never shuffled) against ALL buckets;
     #    old-vs-old pairs are never regenerated. Same bounded per-(file,
-    #    band) linking and in-join Hamming prefilter as the batch path.
+    #    band) linking and Hamming prefilter as the batch path.
+    #
+    #    The partner side is pre-truncated per touched bucket to its
+    #    top-(k+1) members by the SAME per-band order the batch path uses
+    #    (xxhash64(file_id, band_id) — a value independent of which new
+    #    file is asking). Every new member's k partners are therefore a
+    #    subset of that global top-(k+1) (only the member itself is ever
+    #    excluded), so the truncation is exact for the linking rule while
+    #    cutting the join output from Σ bucket_n × delta_n rows to
+    #    (k+1) × delta_n. Before this, a worst-case update (every family
+    #    touched, bucket_n ≈ 200) materialized 200× more intermediate rows
+    #    than it kept. The truncation itself is one window over the
+    #    touched-bucket subset (left_semi on the delta's bucket keys —
+    #    delta-bounded for realistic updates). Prefilter placement matches
+    #    the batch path: link first, Hamming-kill after.
     buckets_all = cat.read(pipe._tbl("buckets"))
     nb = buckets_all.join(F.broadcast(new_rep_ids), "file_id", "left_semi")
-    joined = buckets_all.alias("ab").join(
-        F.broadcast(nb.alias("nb")), ["band_id", "band_hash", "salt"]
+    bucket_key = ["band_id", "band_hash", "salt"]
+    delta_keys = nb.select(*bucket_key).distinct()
+    wb = Window.partitionBy(*bucket_key).orderBy(
+        F.xxhash64("file_id", "band_id"), "file_id"
+    )
+    ab_top = (
+        buckets_all.join(F.broadcast(delta_keys), bucket_key, "left_semi")
+        .withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") <= cfg.neighbors_per_band + 1)
+        .drop("_rk")
+    )
+    joined = ab_top.alias("ab").join(
+        F.broadcast(nb.alias("nb")), bucket_key
     ).filter(F.col("nb.file_id") != F.col("ab.file_id"))
     if cfg.require_agreement >= 2:
         joined = joined.filter(
