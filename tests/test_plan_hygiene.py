@@ -139,3 +139,21 @@ def test_scan_warnings_total_is_broadcast_not_window(spark):
     plan = _plan(registry()["scan_warnings"][0](spark, SF))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_candidate_pairs_has_no_join(spark):
+    """Candidate linking must be lead() over ONE sorted window pass — a
+    rank self-join on the bucket key materializes sum(bucket_n^2) rows
+    before the rank-range predicate can prune (an inequality can't be a
+    join key), which at a salted bucket cap of 2000 is 4M intermediate
+    rows per bucket. Exactly two exchanges are allowed: the window sort
+    and the pair groupBy."""
+    from dedupe_spark.operators.blocking import candidate_pairs
+
+    buckets = spark.createDataFrame(
+        [(i % 3, i % 5, 0, f"f{i}", i * 7) for i in range(60)],
+        "band_id int, band_hash long, salt int, file_id string, simhash long",
+    )
+    plan = _plan(candidate_pairs(buckets, neighbors_per_band=4, hamming_prefilter=10))
+    assert "Join" not in plan, plan[:900]
+    assert "Window" in plan and plan.count("Exchange") <= 2, plan[:900]
