@@ -369,6 +369,55 @@ if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     topk.show()
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_sample_rows: int,
+    seed: int,
+) -> np.ndarray | None:
+    """Spherical k-means coarse quantizer trained on a BOUNDED deterministic
+    sample (driver-side numpy, seeded). Shared by ``ivf_topk`` (inverted-file
+    search) and ``semdedup`` (cluster-then-prune dedup).
+
+    md5-prefix sampling keeps the training set stable across runs and
+    cluster sizes; the driver never holds more than ``train_sample_rows``
+    rows — the standard IVF recipe: the index is trained on a sample, never
+    the full corpus. Returns L2-normalized centroids, or None when there is
+    nothing to train on (empty corpus, or the md5-cutoff sample rounded down
+    to zero rows).
+    """
+    from dedupe_spark.operators.sampling import deterministic_sample
+
+    n = corpus.count()
+    rate = min(1.0, train_sample_rows / max(n, 1))
+    sample = (
+        deterministic_sample(corpus, id_col, rate=rate) if rate < 1.0 else corpus
+    )
+    s_tbl = sample.select(vec_col).toArrow()
+    s_vecs = s_tbl.column(0).combine_chunks()
+    n_train = len(s_vecs)
+    if n == 0 or n_train == 0:
+        return None
+    train = _list_column_matrix(s_vecs, n_train, vec_col)
+    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cells = min(n_cells, len(train))
+    centroids = train[rng.choice(len(train), size=cells, replace=False)]
+    for _ in range(10):  # Lloyd iterations on the (bounded) sample
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(cells):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -385,10 +434,7 @@ def ivf_topk(
     path alongside ``ann_lsh_topk``.
 
     1. **Train**: k-means centroids on a BOUNDED deterministic sample of
-       the corpus (md5-prefix sampling keeps the training set stable across
-       runs/cluster sizes; the driver never sees more than
-       ``train_sample_rows`` rows — this is the standard IVF recipe, the
-       index is trained on a sample, never the full corpus).
+       the corpus (``_train_centroids``).
     2. **Assign**: every corpus row → nearest centroid, one Arrow-batched
        numpy argmax per batch; cell id becomes the inverted-list key.
     3. **Search**: each query probes its ``n_probe`` nearest cells; the
@@ -397,38 +443,20 @@ def ivf_topk(
 
     Recall rises with n_probe (n_probe == n_cells ⇒ exact search).
     """
-    from dedupe_spark.operators.sampling import deterministic_sample
-
-    # --- train on a bounded sample (driver-side numpy, seeded) ----------
-    n = corpus.count()
-    rate = min(1.0, train_sample_rows / max(n, 1))
-    sample = (
-        deterministic_sample(corpus, id_col, rate=rate) if rate < 1.0 else corpus
+    centroids = _train_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_sample_rows=train_sample_rows,
+        seed=seed,
     )
-    s_tbl = sample.select(vec_col).toArrow()
-    s_vecs = s_tbl.column(0).combine_chunks()
-    n_train = len(s_vecs)
-    if n == 0 or n_train == 0:
-        # empty corpus, or the md5-cutoff sample rounded down to zero rows —
-        # nothing to train on, nothing to return (mirror _lsh_dup_pairs'
-        # empty-schema path instead of crashing in the axis=1 norm)
+    if centroids is None:
+        # empty corpus — nothing to train on, nothing to return (mirror
+        # _lsh_dup_pairs' empty-schema path instead of crashing)
         id_t = queries.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [], f"q_id {id_t}, n_id {id_t}, cos double, rank int"
-        )
-    train = _list_column_matrix(s_vecs, n_train, vec_col)
-    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cells = min(n_cells, len(train))
-    centroids = train[rng.choice(len(train), size=cells, replace=False)]
-    for _ in range(10):  # Lloyd iterations on the (bounded) sample
-        assign = (train @ centroids.T).argmax(axis=1)
-        for c in range(cells):
-            members = train[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids /= np.maximum(
-            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
 
     sc = corpus.sparkSession.sparkContext
@@ -473,3 +501,131 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def semdedup_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train_sample_rows: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-means cell assignment: (id, cell, cent_sim).
+
+    ``cent_sim`` is the cosine to the assigned centroid, rounded to 6
+    places — the SemDeDup keep-rule's sort key, rounded so an independent
+    engine reading the materialized assignment reproduces the ordering
+    exactly. Seeded sample + seeded Lloyd ⇒ rerunning yields identical
+    cells and sims (the same determinism contract as ``ivf_topk``).
+    """
+    centroids = _train_centroids(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_sample_rows=train_sample_rows,
+        seed=seed,
+    )
+    if centroids is None:
+        id_t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id {id_t}, cell int, cent_sim double"
+        )
+    b_cent = df.sparkSession.sparkContext.broadcast(centroids)
+
+    @pandas_udf("cell int, cent_sim double")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        cent = b_cent.value
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        cell = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "cent_sim": np.round(sims[np.arange(len(cell)), cell], 6),
+            }
+        )
+
+    d = _as_double(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
+    )
+    return d.select("id", assign(F.col("vec")).alias("_a")).select(
+        "id", "_a.cell", "_a.cent_sim"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    train_sample_rows: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    cluster-then-prune — k-means partition the embedding space, then prune
+    near-duplicates WITHIN each cell only.
+
+    1. **Cluster**: seeded spherical k-means on a bounded sample
+       (``_train_centroids``); every row → (cell, cent_sim) in one
+       Arrow-batched argmax (``semdedup_assign``).
+    2. **Pair**: within-cell candidate pairs via a hash equi-join on the
+       cell id (never a global cross join — the cell partition IS the
+       blocking step; cross-cell near-dups are out of scope by design,
+       exactly the paper's approximation). Exact cosine reranks, keep
+       pairs with cos ≥ ``threshold``.
+    3. **Cluster the pairs**: connected components (min-id labels).
+    4. **Keep-rule**: per duplicate group keep the member with the LOWEST
+       centroid similarity (the paper's choice — the most "marginal"
+       example preserves diversity), ties broken on min id; singletons are
+       always kept.
+
+    Returns (id, cell, cent_sim, cluster_id, keep); null cluster_id ⇔
+    singleton (the ≥2-member rule, duplicate_detector.py:88-89).
+
+    Scale shape (100 TB): n_cells grows with the corpus (cells ≈
+    n / target_cell_size, e.g. 100k cells for 100M embeddings per the
+    paper), so the within-cell pair count is bounded by
+    Σ cell_n² ≈ n · target_cell_size — linear in n for fixed cell size.
+    The pair join is a shuffle on the cell id; AQE skew-join splits any
+    oversized cell. Training stays driver-side on a bounded sample
+    regardless of corpus size.
+    """
+    assign_df = semdedup_assign(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_sample_rows=train_sample_rows,
+        seed=seed,
+    )
+    d = _as_double(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
+    ).join(assign_df, "id")
+    # localCheckpoint: the self-join below reads the assignment twice;
+    # without it the fingerprint UDF + argmax would recompute per side.
+    d = d.localCheckpoint(eager=False)
+
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", _pair_cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    from dedupe_spark.operators.cc import connected_components
+
+    comp = connected_components(pairs).select(
+        F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
+    )
+    out = d.select("id", "cell", "cent_sim").join(comp, "id", "left")
+    w = Window.partitionBy(
+        F.coalesce(F.col("cluster_id"), F.col("id"))
+    ).orderBy(F.asc("cent_sim"), F.asc("id"))
+    return out.withColumn("keep", F.row_number().over(w) == 1)

@@ -1933,6 +1933,59 @@ ORDER BY ks.q_id
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    cells → within-cell cosine pairs → CC → keep the lowest-centroid-sim
+    member per duplicate group.
+
+    At sf0.01 the engine materializes its deterministic (id, cell,
+    cent_sim) k-means assignment (seeded sample + seeded Lloyd — the same
+    frame ``semdedup`` computes internally); the DuckDB twin re-derives
+    the pruning decision by brute force within each cell: complete cosine
+    closure over all within-cell pairs (no candidate shortcuts), recursive
+    CTE transitive closure, and the lowest-cent_sim keep rule — value-
+    checking pair generation, CC, and the keep window end to end. The
+    k-means itself is pinned by the determinism unit tests."""
+    from dedupe_spark.operators.similarity import semdedup, semdedup_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if _is_oracle_sf(sf_dir):
+        _materialize_for_oracle(semdedup_assign(emb, n_cells=8), "semdedup")
+    return semdedup(emb, threshold=0.45, n_cells=8).orderBy("id")
+
+
+SQL_SEMDEDUP = f"""
+WITH RECURSIVE a AS (
+  SELECT id, cell, cent_sim
+  FROM read_parquet('{_ORACLE_FP_DIR}/semdedup/*.parquet')
+), pairs AS (
+  SELECT x.id AS id1, y.id AS id2
+  FROM a x
+  JOIN a y ON x.cell = y.cell AND x.id < y.id
+  JOIN embeddings e1 ON e1.vec_id = x.id
+  JOIN embeddings e2 ON e2.vec_id = y.id
+  WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                     e2.embedding::DOUBLE[]), 6) >= 0.45
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), ranked AS (
+  SELECT a.id, a.cell, a.cent_sim, c.cluster_id,
+         row_number() OVER (PARTITION BY coalesce(c.cluster_id, a.id)
+                            ORDER BY a.cent_sim ASC, a.id ASC) AS rn
+  FROM a LEFT JOIN comp c ON c.id = a.id
+)
+SELECT id, cell, cent_sim, cluster_id, (rn = 1) AS keep
+FROM ranked ORDER BY id
+"""
+
+
 def _materialize_media(spark: SparkSession) -> None:
     """Write the deterministic synthetic media table (id, kind, payload
     blob) for the media oracles — DuckDB recomputes features / resample
@@ -2176,6 +2229,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
         "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, SQL_MINHASH_LSH_DEDUPE),
         "simhash_dedupe": (q_simhash_dedupe, SQL_SIMHASH_DEDUPE),
+        "semdedup": (q_semdedup, SQL_SEMDEDUP),
         "ann_topk": (q_ann_topk, None),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "ivf_topk": (q_ivf_topk, None),

@@ -183,3 +183,59 @@ def test_ragged_embedding_rejected_loudly(spark, vectors):
     )
     with pytest.raises(Exception, match="ragged"):
         embedding_dup_pairs(bad, threshold=0.95).collect()
+
+
+def test_semdedup_prunes_planted_clusters(vectors):
+    """Each 10-member tight cluster (cos ≈ 1 within, ≈ noise across) must
+    collapse to exactly one kept member; noise vectors stay singletons."""
+    from dedupe_spark.operators.similarity import semdedup
+
+    out = semdedup(vectors, threshold=0.95, n_cells=5).cache()
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 60
+    labels = {r["vec_id"]: r["label"] for r in vectors.collect()}
+    # every planted cluster keeps exactly one member
+    for c in range(5):
+        members = [i for i in rows if labels[i] == c]
+        kept = [i for i in members if rows[i]["keep"]]
+        assert len(kept) == 1, f"cluster {c}: kept {kept}"
+        # all members share one cluster_id = min member id
+        cids = {rows[i]["cluster_id"] for i in members}
+        assert cids == {min(members)}
+    # noise vectors: singletons, always kept
+    for i in rows:
+        if labels[i] == -1:
+            assert rows[i]["cluster_id"] is None and rows[i]["keep"]
+
+
+def test_semdedup_keep_rule_lowest_centroid_sim(vectors):
+    """The kept member of each duplicate group is the argmin of cent_sim
+    (ties by min id) — the SemDeDup 'most marginal example' rule."""
+    from dedupe_spark.operators.similarity import semdedup
+
+    out = semdedup(vectors, threshold=0.95, n_cells=5).collect()
+    groups: dict = {}
+    for r in out:
+        if r["cluster_id"] is not None:
+            groups.setdefault(r["cluster_id"], []).append(r)
+    assert groups
+    for cid, members in groups.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1
+        expect = min(members, key=lambda r: (r["cent_sim"], r["id"]))
+        assert kept[0]["id"] == expect["id"]
+
+
+def test_semdedup_deterministic(vectors):
+    from dedupe_spark.operators.similarity import semdedup
+
+    a = sorted(map(tuple, semdedup(vectors, threshold=0.95, n_cells=5).collect()))
+    b = sorted(map(tuple, semdedup(vectors, threshold=0.95, n_cells=5).collect()))
+    assert a == b
+
+
+def test_semdedup_empty_corpus(spark):
+    from dedupe_spark.operators.similarity import semdedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semdedup(empty).count() == 0
