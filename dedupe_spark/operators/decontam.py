@@ -148,3 +148,152 @@ if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)
         out.orderBy(F.desc("matched_grams")).show(20, truncate=False)
     n_bad = out.filter("contaminated").count()
     print(f"contaminated: {n_bad}", file=sys.stderr)
+
+
+def cross_dedupe(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg=None,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Fuzzy cross-corpus dedup: flag every corpus doc that exactly or
+    NEARLY duplicates any reference doc (the fuzzy companion to
+    ``decontaminate``'s exact n-gram rule — the "dedup the training set
+    against the eval set" pass of NeMo-Curator-style pipelines, and the
+    general A-vs-B fuzzy set difference).
+
+    Tiers (same consensus semantics as the flagship pipeline):
+
+    * **exact**: corpus ``content_sha`` equi-joined against the reference
+      sha set.
+    * **near**: corpus docs with no exact hit, LSH-band equi-join against
+      the reference band keys with an in-join Hamming prefilter (losers
+      never reach the pair-dedup shuffle), then simhash Hamming ≤
+      ``cfg.hamming_threshold`` AND MinHash-Jaccard ≥
+      ``cfg.jaccard_threshold``. This is the flagship's 2-of-3 consensus
+      specialized to cross pairs: the sha vote cannot fire between
+      non-exact pairs, so agreement ≥ 2 means both remaining signals —
+      the rule is fixed, ``cfg.require_agreement`` is not consulted.
+
+    Returns one row per corpus doc::
+
+        (id, matched, match_kind 'exact'|'near'|null, ref_id)
+
+    ``ref_id`` is the minimum matching reference id (exact hits take
+    precedence) — deterministic, so reruns and the DuckDB twin agree.
+    Errored corpus rows (empty content) come out unmatched.
+
+    Scale shape: the reference side (eval benchmarks, a blocklist) is
+    normally MBs against a 100-TB corpus, so both reference sides are
+    broadcast by default — the corpus never shuffles on sha or band key;
+    the only corpus-keyed exchanges are the two per-id aggregations.
+    ``broadcast_reference=False`` degrades to shuffle equi-joins when the
+    reference is itself warehouse-scale (at which point
+    ``plans.incremental`` — new-vs-all with bucket maintenance — is
+    usually the better tool).
+    """
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.functions.fingerprint import with_fingerprints
+    from dedupe_spark.operators.scoring import _minhash_jaccard
+
+    cfg = cfg or PipelineConfig()
+
+    def fp_of(df: DataFrame) -> DataFrame:
+        files = (
+            df.select(
+                F.col(id_col).cast("string").alias("path"),
+                F.col(text_col).alias("content"),
+            )
+            .withColumn("repo", F.lit("t"))
+            .withColumn("commit", F.lit("0"))
+            .withColumn("lang", F.lit("text"))
+        )
+        return with_fingerprints(
+            files,
+            shingle_k=cfg.shingle_k,
+            num_perm=cfg.num_perm,
+            bands=cfg.lsh_bands,
+            rows=cfg.lsh_rows,
+        ).select(
+            F.col("path").alias("id"),
+            "content_sha",
+            "simhash",
+            "minhash_sig",
+            "band_keys",
+            "error",
+        )
+
+    cfp = fp_of(corpus).localCheckpoint(eager=False)
+    # reference fingerprints are read by both tiers; errored refs can't match
+    rfp = fp_of(reference).filter(F.col("error").isNull()).localCheckpoint(
+        eager=False
+    )
+    healthy = cfp.filter(F.col("error").isNull())
+
+    # --- exact tier: sha membership --------------------------------------
+    ref_shas = rfp.groupBy("content_sha").agg(F.min("id").alias("ref_id"))
+    if broadcast_reference:
+        ref_shas = F.broadcast(ref_shas)
+    exact = healthy.select("id", "content_sha").join(ref_shas, "content_sha").select(
+        "id", "ref_id"
+    )
+
+    # --- near tier: LSH cross-blocking + consensus ------------------------
+    near_side = healthy.join(exact.select("id"), "id", "left_anti")
+    # band explode carries only (id, simhash) — 16 bytes/row; the 128-lane
+    # MinHash signatures are joined back AFTER the candidate set is
+    # deduplicated, so they are never multiplied by the band fan-out or
+    # shuffled through dropDuplicates (the flagship's prefetch-by-semi-join
+    # shape, plans/incremental.py scoring stage)
+    c_bands = near_side.select(
+        "id", "simhash", F.posexplode("band_keys").alias("band_id", "band_hash")
+    )
+    r_bands = rfp.select(
+        F.col("id").alias("rid"),
+        F.col("simhash").alias("r_simhash"),
+        F.posexplode("band_keys").alias("band_id", "band_hash"),
+    )
+    if broadcast_reference:
+        r_bands = F.broadcast(r_bands)
+    cand_ids = (
+        c_bands.join(r_bands, ["band_id", "band_hash"])
+        # in-join prefilter: Hamming losers die before the dedup shuffle
+        .filter(
+            F.bit_count(F.expr("simhash ^ r_simhash"))
+            <= F.lit(cfg.hamming_threshold)
+        )
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
+    )
+    r_sigs = rfp.select(F.col("id").alias("rid"), F.col("minhash_sig").alias("r_sig"))
+    if broadcast_reference:
+        r_sigs = F.broadcast(r_sigs)
+    cand = (
+        cand_ids.join(near_side.select("id", "minhash_sig"), "id")
+        .join(r_sigs, "rid")
+        .withColumn("jaccard", _minhash_jaccard(F.col("minhash_sig"), F.col("r_sig")))
+        .filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+    )
+    near = cand.groupBy("id").agg(F.min("rid").alias("ref_id"))
+
+    # --- assemble ----------------------------------------------------------
+    e = exact.select("id", F.col("ref_id").alias("_e_ref"))
+    n = near.select("id", F.col("ref_id").alias("_n_ref"))
+    return (
+        cfp.select("id")
+        .join(e, "id", "left")
+        .join(n, "id", "left")
+        .select(
+            "id",
+            (F.col("_e_ref").isNotNull() | F.col("_n_ref").isNotNull()).alias(
+                "matched"
+            ),
+            F.when(F.col("_e_ref").isNotNull(), F.lit("exact"))
+            .when(F.col("_n_ref").isNotNull(), F.lit("near"))
+            .alias("match_kind"),
+            F.coalesce("_e_ref", "_n_ref").alias("ref_id"),
+        )
+    )

@@ -1986,6 +1986,85 @@ FROM ranked ORDER BY id
 """
 
 
+def q_cross_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-corpus dedup (decontamination shape): flag documents
+    that exactly or nearly duplicate the deterministic reference subset
+    ``doc_id % 7 == 0``.
+
+    At sf0.01 the engine materializes BOTH fingerprint frames (same
+    deterministic UDF ``cross_dedupe`` computes internally); the DuckDB
+    twin brute-forces ALL corpus×reference pairs — sha equality for the
+    exact tier, Hamming ≤ 10 AND ≥ 0.7 equal MinHash lanes for the near
+    tier — and applies the same exact-over-near precedence and min-ref_id
+    pick. Value-checks LSH cross-blocking recall, the consensus vote, and
+    the assembly end to end."""
+    from dedupe_spark.functions.fingerprint import with_fingerprints
+    from dedupe_spark.operators.decontam import cross_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    if _is_oracle_sf(sf_dir):
+        def _fpm(df: DataFrame, name: str) -> None:
+            files = (
+                df.select(
+                    F.col("doc_id").cast("string").alias("path"),
+                    F.col("text").alias("content"),
+                )
+                .withColumn("repo", F.lit("t"))
+                .withColumn("commit", F.lit("0"))
+                .withColumn("lang", F.lit("text"))
+            )
+            _materialize_for_oracle(
+                with_fingerprints(files).select(
+                    F.col("path").alias("id"),
+                    "content_sha",
+                    "simhash",
+                    "minhash_sig",
+                    "error",
+                ),
+                name,
+            )
+
+        _fpm(docs, "cross_corpus")
+        _fpm(ref, "cross_ref")
+    return cross_dedupe(docs, ref).orderBy("id")
+
+
+SQL_CROSS_DEDUPE = f"""
+WITH c AS (
+  SELECT id, content_sha, simhash, minhash_sig, error
+  FROM read_parquet('{_ORACLE_FP_DIR}/cross_corpus/*.parquet')
+), r AS (
+  SELECT id, content_sha, simhash, minhash_sig
+  FROM read_parquet('{_ORACLE_FP_DIR}/cross_ref/*.parquet')
+  WHERE error IS NULL
+), exact AS (
+  SELECT c.id, min(r.id) AS ref_id
+  FROM c JOIN r ON c.content_sha = r.content_sha
+  WHERE c.error IS NULL
+  GROUP BY c.id
+), near AS (
+  SELECT c.id, min(r.id) AS ref_id
+  FROM c JOIN r
+    ON bit_count(xor(c.simhash, r.simhash)) <= 10
+   AND len(list_filter(range(1, len(c.minhash_sig) + 1),
+                       i -> c.minhash_sig[i] = r.minhash_sig[i]))
+       >= 0.7 * len(c.minhash_sig)
+  WHERE c.error IS NULL AND c.id NOT IN (SELECT id FROM exact)
+  GROUP BY c.id
+)
+SELECT c.id,
+       (e.id IS NOT NULL OR n.id IS NOT NULL) AS matched,
+       CASE WHEN e.id IS NOT NULL THEN 'exact'
+            WHEN n.id IS NOT NULL THEN 'near' END AS match_kind,
+       coalesce(e.ref_id, n.ref_id) AS ref_id
+FROM c
+LEFT JOIN exact e ON e.id = c.id
+LEFT JOIN near n ON n.id = c.id
+ORDER BY c.id
+"""
+
+
 def _materialize_media(spark: SparkSession) -> None:
     """Write the deterministic synthetic media table (id, kind, payload
     blob) for the media oracles — DuckDB recomputes features / resample
@@ -2199,6 +2278,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "cross_dedupe": (q_cross_dedupe, SQL_CROSS_DEDUPE),
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),

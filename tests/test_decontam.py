@@ -96,3 +96,51 @@ def test_quality_filter_no_cross_lang_bleed(spark):
     # ties within each lang (identical scores) -> everything at the
     # threshold survives, but crucially BOTH langs keep rows
     assert by_lang.get("en", 0) >= 4 and by_lang.get("fr", 0) >= 4
+
+
+def _long_text(seed: str, n: int = 60) -> str:
+    return " ".join(f"{seed}{i}" for i in range(n))
+
+
+def test_cross_dedupe_planted(spark):
+    from dedupe_spark.operators.decontam import cross_dedupe
+
+    text_a = _long_text("alpha")
+    text_b = _long_text("beta")
+    near_a = text_a.replace("alpha30", "CHANGED")  # 1 of 60 tokens differs
+    ref = spark.createDataFrame(
+        [(100, text_a), (105, text_b)], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, text_a),               # exact copy of ref 100
+            (2, near_a),               # near-dup of ref 100
+            (3, _long_text("gamma")),  # unrelated
+            (4, ""),                   # errored (empty content)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in cross_dedupe(corpus, ref).collect()}
+    assert len(rows) == 4
+    assert (rows["1"]["match_kind"], rows["1"]["ref_id"]) == ("exact", "100")
+    assert (rows["2"]["match_kind"], rows["2"]["ref_id"]) == ("near", "100")
+    assert rows["3"]["matched"] is False and rows["3"]["ref_id"] is None
+    assert rows["4"]["matched"] is False and rows["4"]["match_kind"] is None
+
+
+def test_cross_dedupe_min_ref_and_no_broadcast(spark):
+    """Two refs share the corpus doc's text: ref_id = min id; the shuffle
+    (non-broadcast) path returns the identical frame."""
+    from dedupe_spark.operators.decontam import cross_dedupe
+
+    text = _long_text("delta")
+    ref = spark.createDataFrame(
+        [(300, text), (200, text)], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    a = cross_dedupe(corpus, ref).collect()
+    assert [(r["id"], r["match_kind"], r["ref_id"]) for r in a] == [
+        ("1", "exact", "200")
+    ]
+    b = cross_dedupe(corpus, ref, broadcast_reference=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

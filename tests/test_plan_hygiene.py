@@ -157,3 +157,20 @@ def test_candidate_pairs_has_no_join(spark):
     plan = _plan(candidate_pairs(buckets, neighbors_per_band=4, hamming_prefilter=10))
     assert "Join" not in plan, plan[:900]
     assert "Window" in plan and plan.count("Exchange") <= 2, plan[:900]
+
+
+def test_cross_dedupe_broadcasts_reference_no_cartesian(spark):
+    """cross_dedupe's scale contract: the reference side (sha set, band
+    keys, signatures) is BROADCAST — the corpus never shuffles on sha or
+    band key — and no tier degenerates to a cartesian product."""
+    plan = _plan(registry()["cross_dedupe"][0](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:900]
+
+
+def test_semdedup_pairs_are_cell_equijoin_not_cartesian(spark):
+    """semdedup's within-cell pairing must be a hash equi-join on the cell
+    id (the k-means partition IS the blocking step) — never a global
+    cross join over the corpus."""
+    plan = _plan(registry()["semdedup"][0](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
