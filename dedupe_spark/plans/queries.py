@@ -2065,6 +2065,98 @@ ORDER BY c.id
 """
 
 
+def q_pipeline_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise F1 of the flagship pipeline on the planted fixture — the
+    north-rule acceptance metric surfaced as a driver-visible query.
+
+    The corpus is the engine's own deterministic e2e-gate fixture
+    (``dedupe_spark.fixtures``, seed 42: exact/near families, singletons,
+    corrupt rows, plus a 60-copy giant family for the skew path); truth is
+    unambiguous (same family ⇔ duplicate). The labeled assignment
+    (file_id, family, cluster_id) is materialized at sf0.01 and BOTH
+    engines derive the pairwise counts from group sizes — truth pairs =
+    C(n,2) per family, predicted pairs = C(n,2) per non-null cluster, TP
+    from the joint (family, cluster) cells — so the SQL twin value-checks
+    the metric math end to end while the clusters themselves are
+    engine-provided (the ``ann_recall`` pattern)."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.fixtures import file_id_of, files_dataframe, generate_files
+    from dedupe_spark.operators.dedup import dedup_pipeline
+
+    rows = generate_files(giant_family_size=60)
+    files = files_dataframe(spark, rows)
+    out = dedup_pipeline(files, PipelineConfig()).select("file_id", "cluster_id")
+    truth = spark.createDataFrame(
+        [(file_id_of(r), r.family if r.family else None) for r in rows],
+        "file_id string, family string",
+    )
+    labeled = truth.join(out, "file_id", "left")
+    if _is_oracle_sf(sf_dir):
+        _materialize_for_oracle(labeled, "pipeline_f1")
+
+    def _pairs(df: DataFrame, cols: list[str], alias: str) -> DataFrame:
+        g = df.groupBy(*cols).agg(F.count("*").alias("n"))
+        return g.agg(
+            F.coalesce(
+                F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")), F.lit(0)
+            ).alias(alias)
+        )
+
+    t = _pairs(labeled.filter(F.col("family").isNotNull()), ["family"], "truth_pairs")
+    p = _pairs(
+        labeled.filter(F.col("cluster_id").isNotNull()),
+        ["cluster_id"],
+        "predicted_pairs",
+    )
+    tp = _pairs(
+        labeled.filter(
+            F.col("family").isNotNull() & F.col("cluster_id").isNotNull()
+        ),
+        ["family", "cluster_id"],
+        "tp",
+    )
+    # 1-row × 1-row × 1-row: broadcast cross of totals (queries.py A2 shape)
+    return (
+        t.crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "truth_pairs",
+            "predicted_pairs",
+            "tp",
+            F.round(F.col("tp") / F.col("predicted_pairs"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("truth_pairs"), 6).alias("recall"),
+            F.round(
+                2.0 * F.col("tp") / (F.col("predicted_pairs") + F.col("truth_pairs")),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+SQL_PIPELINE_F1 = f"""
+WITH l AS (
+  SELECT * FROM read_parquet('{_ORACLE_FP_DIR}/pipeline_f1/*.parquet')
+), t AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS truth_pairs
+  FROM (SELECT count(*) AS n FROM l WHERE family IS NOT NULL GROUP BY family)
+), p AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS predicted_pairs
+  FROM (SELECT count(*) AS n FROM l WHERE cluster_id IS NOT NULL
+        GROUP BY cluster_id)
+), tp AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS tp
+  FROM (SELECT count(*) AS n FROM l
+        WHERE family IS NOT NULL AND cluster_id IS NOT NULL
+        GROUP BY family, cluster_id)
+)
+SELECT t.truth_pairs, p.predicted_pairs, tp.tp,
+       round(tp.tp * 1.0 / p.predicted_pairs, 6) AS "precision",
+       round(tp.tp * 1.0 / t.truth_pairs, 6) AS recall,
+       round(2.0 * tp.tp / (p.predicted_pairs + t.truth_pairs), 6) AS f1
+FROM t, p, tp
+"""
+
+
 def _materialize_media(spark: SparkSession) -> None:
     """Write the deterministic synthetic media table (id, kind, payload
     blob) for the media oracles — DuckDB recomputes features / resample
@@ -2279,6 +2371,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "cross_dedupe": (q_cross_dedupe, SQL_CROSS_DEDUPE),
+        "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
