@@ -1670,8 +1670,25 @@ def _materialize_for_oracle(df: DataFrame, name: str) -> None:
     oracle SQL reads. Deterministic content (seeded MinHash permutations,
     fixed SipHash key), so overwriting is idempotent; the sf0.01 output is
     committed to the repo so the oracle is runnable regardless of whether
-    the driver executes SQL or Spark first."""
-    df.write.mode("overwrite").parquet(f"{_ORACLE_FP_DIR}/{name}")
+    the driver executes SQL or Spark first.
+
+    BYTE-deterministic layout: rows totally ordered, one fixed-name file,
+    written via pyarrow — Spark's parquet writer embeds a Java Set in the
+    thrift footer whose iteration order varies run to run (6 stray bytes
+    per file), and its part names carry fresh UUIDs; either would churn
+    the tracked binary on every test run. These frames are all
+    correctness-scale (≤ a few thousand rows), so the driver-side collect
+    is bounded by construction."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    path = f"{_ORACLE_FP_DIR}/{name}"
+    tbl = df.orderBy(*df.columns).toArrow()
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, f"{path}/data.parquet", compression="snappy")
 
 
 def _is_oracle_sf(sf_dir: str) -> bool:
