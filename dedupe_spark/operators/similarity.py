@@ -531,21 +531,34 @@ def semdedup_assign(
     if centroids is None:
         id_t = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"id {id_t}, cell int, cent_sim double"
+            [], f"id {id_t}, cell int, cent_sim double, dir_key long"
         )
     b_cent = df.sparkSession.sparkContext.broadcast(centroids)
 
-    @pandas_udf("cell int, cent_sim double")
+    @pandas_udf("cell int, cent_sim double, dir_key long")
     def assign(vecs: pd.Series) -> pd.DataFrame:
         cent = b_cent.value
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ cent.T
         cell = sims.argmax(axis=1)
+        # direction key: FNV-style fold over the 1e-6-quantized normalized
+        # vector (vectorized across the batch, same mixing shape as
+        # fingerprint._band_hashes_batch). Identical directions — scalar
+        # multiples, byte-identical embeddings — share a key; semdedup
+        # pre-collapses them before pairing (cosine is exactly 1 inside a
+        # key group, so the collapse is semantics-preserving for any
+        # threshold ≤ 1). 64-bit random-collision risk ~C(n,2)/2^64, the
+        # same accepted bound as cc.py's vertex compaction.
+        q = np.round(m * 1e6).astype(np.int64).astype(np.uint64)
+        acc = np.full(len(q), 14695981039346656037, dtype=np.uint64)
+        for j in range(q.shape[1]):
+            acc = (acc ^ q[:, j]) * np.uint64(1099511628211)
         return pd.DataFrame(
             {
                 "cell": cell.astype("int32"),
                 "cent_sim": np.round(sims[np.arange(len(cell)), cell], 6),
+                "dir_key": acc.view(np.int64),
             }
         )
 
@@ -553,7 +566,7 @@ def semdedup_assign(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
     )
     return d.select("id", assign(F.col("vec")).alias("_a")).select(
-        "id", "_a.cell", "_a.cent_sim"
+        "id", "_a.cell", "_a.cent_sim", "_a.dir_key"
     )
 
 
@@ -611,7 +624,18 @@ def semdedup(
     # without it the fingerprint UDF + argmax would recompute per side.
     d = d.localCheckpoint(eager=False)
 
-    a, b = d.alias("a"), d.alias("b")
+    # exact-direction super-nodes (the text pipeline's exact-sha tier,
+    # transplanted): identical directions are cosine-1 cliques, so scoring
+    # them pairwise is pure waste — collapse each dir_key group to its min
+    # id before pairing. A 100-copy clique costs 99 expansion rows instead
+    # of C(100,2) scored pairs; pairing-side recall is untouched because
+    # cos(w, u) == cos(w, v) whenever u, v share a direction.
+    eg = d.groupBy("dir_key").agg(
+        F.min("id").alias("rep"), F.count("*").alias("dir_n")
+    )
+    reps = d.join(eg.select(F.col("rep").alias("id")), "id")
+
+    a, b = reps.alias("a"), reps.alias("b")
     pairs = (
         a.join(b, "cell")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -622,9 +646,25 @@ def semdedup(
     from dedupe_spark.operators.cc import connected_components
 
     comp = connected_components(pairs).select(
-        F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
+        F.col("file_id").alias("rep"), F.col("component").alias("_comp")
     )
-    out = d.select("id", "cell", "cent_sim").join(comp, "id", "left")
+    # rep-level component → every member of the direction group; dir
+    # groups of ≥2 cluster even without external edges (their members are
+    # exact cosine-1 duplicates of each other). component = min rep id of
+    # the component = min member id overall, since each rep is the min of
+    # its own group.
+    labels = (
+        d.select("id", "cell", "cent_sim", "dir_key")
+        .join(eg, "dir_key")
+        .join(comp, "rep", "left")
+        .withColumn(
+            "cluster_id",
+            F.when(F.col("_comp").isNotNull(), F.col("_comp")).when(
+                F.col("dir_n") >= 2, F.col("rep")
+            ),
+        )
+    )
+    out = labels.select("id", "cell", "cent_sim", "cluster_id")
     w = Window.partitionBy(
         F.coalesce(F.col("cluster_id"), F.col("id"))
     ).orderBy(F.asc("cent_sim"), F.asc("id"))

@@ -239,3 +239,32 @@ def test_semdedup_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semdedup(empty).count() == 0
+
+
+def test_semdedup_exact_direction_supernodes(spark):
+    """Scalar multiples share a direction (cosine exactly 1): a 50-copy
+    clique plus one noisy near-dup must come out as ONE cluster labeled by
+    the min id, with pairing done over direction reps (the super-node
+    collapse) — and a lone scalar-pair with no external edges still
+    clusters via the dir-group >= 2 rule."""
+    import numpy as np
+
+    from dedupe_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    other = rng.standard_normal(16) * 2
+    rows = [(i, [float(x) for x in base * (1.0 + 0.01 * i)]) for i in range(50)]
+    rows.append((50, [float(x) for x in base + rng.standard_normal(16) * 0.01]))
+    rows += [(60, [float(x) for x in other]), (61, [float(x) for x in other * 3.5])]
+    rows.append((70, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # n_cells=1: a single cell removes k-means placement from the test —
+    # with so few distinct directions a larger k can legitimately put the
+    # noisy near-dup in its own cell (the paper's documented cross-cell
+    # miss), which is not what this test is about.
+    out = {r["id"]: r for r in semdedup(df, threshold=0.95, n_cells=1).collect()}
+    assert {out[i]["cluster_id"] for i in range(51)} == {0}
+    assert sum(1 for i in range(51) if out[i]["keep"]) == 1
+    assert out[60]["cluster_id"] == 60 and out[61]["cluster_id"] == 60
+    assert out[70]["cluster_id"] is None and out[70]["keep"]
