@@ -607,7 +607,11 @@ def semdedup(
     Σ cell_n² ≈ n · target_cell_size — linear in n for fixed cell size.
     The pair join is a shuffle on the cell id; AQE skew-join splits any
     oversized cell. Training stays driver-side on a bounded sample
-    regardless of corpus size.
+    regardless of corpus size. The ``localCheckpoint`` below holds the
+    (id, vec, assignment) frame in executor memory for the convenience
+    path; a warehouse-scale run should materialize ``semdedup_assign`` to
+    parquet instead (the cache-vs-staged tradeoff documented at
+    dedup.py's fingerprint cache).
     """
     assign_df = semdedup_assign(
         df,
