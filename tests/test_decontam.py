@@ -144,3 +144,16 @@ def test_cross_dedupe_min_ref_and_no_broadcast(spark):
     ]
     b = cross_dedupe(corpus, ref, broadcast_reference=False).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cross_dedupe_empty_sides(spark):
+    """Empty reference ⇒ nothing matches; empty corpus ⇒ empty output —
+    neither side crashes the fingerprint/centroid machinery."""
+    from dedupe_spark.operators.decontam import cross_dedupe
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, _long_text("eps"))], schema)
+    empty = spark.createDataFrame([], schema)
+    rows = cross_dedupe(corpus, empty).collect()
+    assert [(r["id"], r["matched"], r["ref_id"]) for r in rows] == [("1", False, None)]
+    assert cross_dedupe(empty, corpus).count() == 0
