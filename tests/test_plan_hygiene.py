@@ -174,3 +174,42 @@ def test_semdedup_pairs_are_cell_equijoin_not_cartesian(spark):
     cross join over the corpus."""
     plan = _plan(registry()["semdedup"][0](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin: each is
+# a broadcast cross of 1-row aggregate totals (the A2 "share of corpus"
+# shape), where a nested-loop over one broadcast row is the CHEAPEST possible
+# physical join — not a scale risk. Anything else showing a BNLJ means an
+# equi-join key was lost (e.g. a join condition Catalyst couldn't extract).
+_ONE_ROW_BNLJ_OK = {
+    "row_dedupe_stats",
+    "group_stats",
+    "space_saved",
+    "scan_warnings",
+    "pipeline_f1",
+    "small_quantity_revenue",
+    "ann_recall",
+    # not a 1-row total but still intentional: brute-force exact top-k IS
+    # all-pairs by definition — the tiny query side broadcasts against one
+    # corpus scan; ann_topk / ivf_topk are the bounded scale path.
+    "knn_cosine",
+}
+
+
+def test_registry_wide_no_cartesian_no_rowwise_python(spark):
+    """Every registered query, one gate: a CartesianProduct anywhere is an
+    instant fail (O(n²) at 100 TB); BroadcastNestedLoopJoin only on the
+    allowlisted 1-row-total queries; and the only Python eval node ever
+    allowed is ArrowEvalPython — BatchEvalPython (row-at-a-time pickling)
+    must not exist in ANY plan. Sweeping the whole registry means a new
+    query cannot silently ship a scale-killer plan."""
+    bad: list[str] = []
+    for name, (fn, _sql) in sorted(registry().items()):
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _ONE_ROW_BNLJ_OK:
+            bad.append(f"{name}: BroadcastNestedLoopJoin (not allowlisted)")
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: BatchEvalPython (row-at-a-time Python)")
+    assert not bad, "\n".join(bad)
