@@ -385,3 +385,83 @@ def incremental_update(
     cat.drop(fpb_tbl)
     counts["stage_seconds"] = stage_seconds
     return counts
+
+
+def update_advice(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    *,
+    batch_rows: int,
+    catalog: Catalog | None = None,
+    max_batch_ratio: float = 0.25,
+    max_stale_hot_buckets: int = 10_000,
+) -> dict:
+    """Advisory planner: should this batch go through ``incremental_update``
+    or a ``StagedPipeline`` rebuild?
+
+    The thresholds encode what BENCH/BASELINE.md measured rather than a
+    guess: after the lead-linking + bucket-truncation redesign, a
+    worst-case 10%-of-corpus batch (every row colliding with an existing
+    family) costs 46% of a same-day full rebuild, so incremental wins
+    through at least ``batch_ratio`` 0.10; beyond ``max_batch_ratio``
+    (default 0.25) the measurement band ends and rebuild is recommended.
+
+    The second signal is **bucket-salt staleness** — the deliberate
+    tradeoff documented on ``lsh_bucket_delta``: a bucket that only became
+    hot through appended deltas keeps salt 0 until the next full
+    rebucketing, and every stale hot bucket a future batch touches pays a
+    window sort over its full membership. This helper counts them (one
+    column-pruned aggregation over the bucket table, no UDF) so the
+    operator sees the staleness instead of discovering it as a slow
+    update.
+
+    Returns a dict with the measurements, a ``recommendation`` of
+    ``"incremental"`` or ``"rebuild"``, and human-readable ``reasons``.
+    Advisory only — callers remain free to force either path.
+    """
+    pipe = StagedPipeline(spark, cfg, catalog)
+    cat = pipe.catalog
+    if not cat.exists(pipe._tbl("fingerprints")):
+        return {
+            "corpus_rows": 0,
+            "batch_rows": batch_rows,
+            "batch_ratio": None,
+            "stale_hot_buckets": 0,
+            "recommendation": "rebuild",
+            "reasons": ["no completed run to extend — first batch"],
+        }
+    corpus_rows = cat.rows(pipe._tbl("fingerprints")) or 0
+    batch_ratio = batch_rows / corpus_rows if corpus_rows else None
+
+    stale_hot = 0
+    if cat.exists(pipe._tbl("buckets")):
+        stale_hot = (
+            cat.read(pipe._tbl("buckets"))
+            .groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("n"), F.max("salt").alias("s"))
+            .filter((F.col("s") == 0) & (F.col("n") > cfg.max_bucket_size))
+            .count()
+        )
+
+    reasons: list[str] = []
+    if batch_ratio is not None and batch_ratio > max_batch_ratio:
+        reasons.append(
+            f"batch is {batch_ratio:.0%} of the corpus — beyond the "
+            f"{max_batch_ratio:.0%} band where incremental is measured to win"
+        )
+    if stale_hot > max_stale_hot_buckets:
+        reasons.append(
+            f"{stale_hot} unsalted over-cap buckets — rebucketing overdue "
+            "(delta-grown hot buckets keep salt 0 until a rebuild)"
+        )
+    return {
+        "corpus_rows": corpus_rows,
+        "batch_rows": batch_rows,
+        "batch_ratio": batch_ratio,
+        "stale_hot_buckets": stale_hot,
+        "recommendation": "rebuild" if reasons else "incremental",
+        "reasons": reasons
+        or [
+            "batch within the measured incremental-win band; bucket salting fresh"
+        ],
+    }

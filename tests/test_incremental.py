@@ -76,3 +76,60 @@ def test_incremental_requires_existing_run(spark, corpus, tmp_path):
     cfg = PipelineConfig(run_id="nope", warehouse=str(tmp_path / "wh"))
     with pytest.raises(ValueError, match="fingerprints"):
         incremental_update(spark, files_dataframe(spark, corpus), cfg)
+
+
+def test_update_advice_thresholds(spark, split_runs):
+    """The planner recommends incremental inside the measured win band and
+    rebuild beyond it or when there's no run to extend."""
+    from dedupe_spark.plans.incremental import update_advice
+
+    pipe, _batch, _counts, _half2 = split_runs
+    cfg = PipelineConfig(run_id="inc", warehouse=pipe.catalog.warehouse)
+    corpus_rows = pipe.catalog.rows("inc/fingerprints")
+
+    small = update_advice(spark, cfg, batch_rows=max(1, corpus_rows // 20))
+    assert small["recommendation"] == "incremental"
+    assert small["batch_ratio"] < 0.25 and small["corpus_rows"] == corpus_rows
+
+    big = update_advice(spark, cfg, batch_rows=corpus_rows)
+    assert big["recommendation"] == "rebuild"
+    assert any("beyond" in r for r in big["reasons"])
+
+    fresh = update_advice(
+        spark,
+        PipelineConfig(run_id="virgin", warehouse=pipe.catalog.warehouse),
+        batch_rows=100,
+    )
+    assert fresh["recommendation"] == "rebuild"
+    assert "first batch" in fresh["reasons"][0]
+
+
+def test_update_advice_counts_stale_hot_buckets(spark, split_runs):
+    """A bucket that exceeds max_bucket_size with salt 0 (the
+    lsh_bucket_delta staleness case) must be counted and, past the cap,
+    flip the recommendation to rebuild."""
+    from dedupe_spark.plans.incremental import update_advice
+
+    pipe, _batch, _counts, _half2 = split_runs
+    cfg = PipelineConfig(run_id="inc", warehouse=pipe.catalog.warehouse)
+    # plant an unsalted over-cap bucket directly in the bucket table
+    planted = spark.createDataFrame(
+        [(99, 123456789, 0, f"stale{i}", i * 17) for i in range(cfg.max_bucket_size + 1)],
+        # schema must byte-match the committed bucket table (salt is a
+        # pmod(xxhash64) ⇒ long) or the mixed-file parquet read fails
+        "band_id int, band_hash long, salt long, file_id string, simhash long",
+    )
+    pipe.catalog.append(planted, "inc/buckets")
+    try:
+        adv = update_advice(spark, cfg, batch_rows=1)
+        assert adv["stale_hot_buckets"] >= 1
+        strict = update_advice(
+            spark, cfg, batch_rows=1, max_stale_hot_buckets=0
+        )
+        assert strict["recommendation"] == "rebuild"
+        assert any("rebucketing" in r for r in strict["reasons"])
+    finally:
+        # remove the planted rows so later tests in this module see the
+        # original bucket table
+        clean = pipe.catalog.read("inc/buckets").filter(F.col("band_id") != 99)
+        pipe.catalog.replace(clean, "inc/buckets")
