@@ -69,6 +69,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--update", action="store_true",
                    help="append the input as a new batch to an existing run "
                         "(incremental dedup: old-vs-old pairs not recomputed)")
+    p.add_argument("--advise", action="store_true",
+                   help="print the incremental-vs-rebuild recommendation for "
+                        "this batch (batch ratio + bucket-salt staleness, "
+                        "thresholds from BENCH measurements) and exit without "
+                        "modifying the warehouse")
     p.add_argument("--until", default="assignment",
                    choices=["fingerprints", "exact", "buckets", "edges",
                             "labels", "assignment"],
@@ -134,9 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     pipe = StagedPipeline(spark, cfg)
-    if args.update:
-        from dedupe_spark.plans.incremental import incremental_update
+    if args.advise:
+        from dedupe_spark.plans.incremental import update_advice
 
+        advice = update_advice(spark, cfg, batch_rows=files.count())
+        print(json.dumps({"run_id": args.run_id, "advice": advice}))
+        return 0
+    if args.update:
+        from dedupe_spark.plans.incremental import incremental_update, update_advice
+
+        advice = update_advice(spark, cfg, batch_rows=files.count())
+        if not args.quiet and advice["recommendation"] != "incremental":
+            # advisory only — the operator asked for an update, run it; the
+            # planner's reasons are surfaced so the cost is not a surprise
+            print(json.dumps({"advice": advice}), file=sys.stderr)
         ran = incremental_update(spark, files, cfg)
     else:
         ran = pipe.run(files, resume=not args.no_resume, until=args.until)

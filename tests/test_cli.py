@@ -228,3 +228,25 @@ def test_flat_output_suffixes_colliding_basenames(capsys, tmp_path, spark):
     names = {r["out_name"] for r in got.collect()}
     assert names == {"dup.py", "dup_1.py", "only.py"}
     assert not any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_advise_mode_reports_without_mutating(docs_parquet, capsys, tmp_path):
+    """--advise prints the incremental-vs-rebuild recommendation and exits
+    without touching the warehouse."""
+    wh = str(tmp_path / "wh")
+    main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli9", "--analyze", "--quiet",
+    ])
+    capsys.readouterr()
+    manifest_before = open(os.path.join(wh, "_snapshots.json")).read()
+    rc = main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "cli9", "--advise", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    # re-submitting the whole corpus as a batch = 100% ratio -> rebuild
+    assert rep["advice"]["recommendation"] == "rebuild"
+    assert rep["advice"]["corpus_rows"] == 60
+    assert open(os.path.join(wh, "_snapshots.json")).read() == manifest_before
