@@ -243,6 +243,10 @@ def fake_resize(payload: bytes, kind: str, out_w: int, out_h: int) -> np.ndarray
     m = out_w * out_h
     if n == 1:
         return np.full(m, src[0], dtype=np.float32)
+    if m == 1:
+        # single output sample: np.linspace(0, n-1, 1) == [0.0], i.e. the
+        # first pixel — guard the (m-1) division below, mirroring n == 1
+        return src[:1].astype(np.float32)
     delta = (n - 1) / (m - 1)
     idx = np.arange(m, dtype=np.float64) * delta
     idx[-1] = n - 1  # pin the endpoint exactly (linspace convention)

@@ -13,24 +13,44 @@ The interesting part at 100 TB is the GLOBAL running sum. A naive window
 the entire corpus through ONE task. Instead this is the classic
 two-pass distributed prefix sum:
 
-1. ``repartitionByRange(id)`` gives totally ordered partitions (range
-   partition i holds smaller ids than i+1) — one shuffle, the same one
-   any global ordering needs.
-2. Per-partition token totals (one tiny row per partition) are
-   aggregated and their running sum — the partition base offsets — is
-   computed where it is O(partitions): a window over the partition-id
-   table, then **broadcast** back.
-3. The within-partition exclusive cumsum is a window partitioned BY the
-   range-partition id — every task scans only its own rows.
+1. Rows are assigned an order-preserving **bucket** (bucket(i) <=
+   bucket(j) whenever i < j) and hash-shuffled on it — ONE corpus-wide
+   exchange. For numeric ids the bucket comes from ``approxQuantile``
+   boundaries (one cheap aggregation pass; robust to arbitrary id
+   skew), so the hash repartition on the bucket column *is* the range
+   partitioning — and because the window below partitions BY that same
+   column, Catalyst's clustering requirement is already satisfied and
+   no further exchange is inserted.
+2. Per-bucket token totals (one tiny row per bucket after map-side
+   partial aggregation) are aggregated and their running sum — the
+   bucket base offsets — is computed where it is O(buckets): a window
+   over the totals table, then **broadcast** back.
+3. The within-bucket exclusive cumsum is a window partitioned by the
+   bucket — every task scans only its own rows.
 
-Total cost: one range shuffle + one broadcast of #partitions rows. No
-stage ever sees more than one partition's rows in one task.
+Total cost for numeric ids: one quantile scan + ONE corpus shuffle + a
+broadcast of #buckets rows. (The first design used
+``repartitionByRange`` + ``spark_partition_id()``: Catalyst cannot know
+the physical partition id is clustered, so it inserted a SECOND
+corpus-wide hash exchange for the window, and the unshared range
+subplan executed twice — the executed plan moved ~3× the bytes the
+docstring claimed. Asserted now by a plan test.) Non-numeric ids have
+no ``approxQuantile``; that path keeps the range-shuffle design with a
+``localCheckpoint`` so the range exchange at least runs once, and pays
+the extra pid-hash exchange — documented, not hidden.
+
+The per-row bucket lookup is ``size(filter(boundaries, b <= id))`` —
+O(#buckets) comparisons per row, trivially cheaper than the sha256/
+MinHash work surrounding it in any real pipeline, but worth knowing if
+``num_partitions`` is pushed to extremes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
 
 
 def pack_offsets(
@@ -53,7 +73,8 @@ def pack_offsets(
                      zero-token docs, which occupy no chunk)
 
     Deterministic for any input partitioning: order is defined by
-    ``id_col`` alone (ids must be unique — standard for doc ids).
+    ``id_col`` alone (ids must be unique — standard for doc ids), and
+    the offsets are independent of how rows land in buckets.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -61,11 +82,37 @@ def pack_offsets(
     if num_partitions is None:
         num_partitions = sess.sparkContext.defaultParallelism
 
-    parted = df.repartitionByRange(num_partitions, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type in _NUMERIC and num_partitions > 1:
+        # order-preserving quantile buckets: one cheap aggregation pass,
+        # then ONE corpus shuffle that simultaneously satisfies the
+        # window's clustering requirement (it partitions by _pid too)
+        probs = [i / num_partitions for i in range(1, num_partitions)]
+        bounds = sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
+        if bounds:
+            barr = F.array(*[F.lit(b) for b in bounds])
+            bucket = F.size(
+                F.filter(barr, lambda b: b <= F.col(id_col).cast("double"))
+            )
+        else:
+            bucket = F.lit(0)
+        parted = (
+            df.withColumn("_pid", bucket)
+            .repartition(num_partitions, F.col("_pid"))
+        )
+    else:
+        # non-numeric ids: no approxQuantile — range-partition and tag the
+        # physical partition id. Catalyst cannot see that spark_partition_id
+        # is clustered, so the window below costs one EXTRA corpus-wide
+        # hash exchange on this path; localCheckpoint keeps the range
+        # shuffle itself from executing twice (totals + join both read it).
+        parted = (
+            df.repartitionByRange(num_partitions, F.col(id_col))
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
 
-    # partition base offsets: O(#partitions) rows, windowed where small
+    # bucket base offsets: O(#buckets) rows, windowed where small
     totals = parted.groupBy("_pid").agg(F.sum(token_col).alias("_ptot"))
     w_base = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1

@@ -55,9 +55,14 @@ def dedupe_paragraphs(
     a document whose every paragraph appeared earlier elsewhere survives
     with empty text.
     """
+    # F.split takes a Java REGEX but array_join below re-inserts `sep` as a
+    # literal — quote the pattern (\Q...\E) so both sides agree on literal
+    # semantics for any separator ('.', '||', ...), not just regex-inert ones
     paras = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_raw"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_raw"),
     ).withColumn("_key", F.sha2(F.trim(F.col("_raw")), 256))
 
     content = paras.filter(F.trim(F.col("_raw")) != "")

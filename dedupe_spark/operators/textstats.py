@@ -290,10 +290,17 @@ def quality_percentile_filter(
         .groupBy(group_col)
         .agg(F.min("quality_score").alias("_thresh"))
     )
+    # null-safe join-back: groupBy/window treat NULL as a group of its own,
+    # so a plain equi-join here (NULL != NULL) would silently drop every
+    # NULL-group document regardless of score — the gate must apply to the
+    # ungrouped class too, via its own threshold row
+    t = thresh.withColumnRenamed(group_col, "_g")
     return (
-        scored.join(F.broadcast(thresh), group_col)
+        scored.join(
+            F.broadcast(t), F.col(group_col).eqNullSafe(F.col("_g"))
+        )
         .filter(F.col("quality_score") >= F.col("_thresh"))
-        .drop("_thresh")
+        .drop("_thresh", "_g")
     )
 
 

@@ -53,11 +53,16 @@ union — asserted by tests/test_incremental.py against the golden oracle.
 
 Crash safety: the batch is staged to ``{run_id}/fp_batch`` before the
 fingerprint append and dropped only after the assignment commit. A retry
-of a crashed update finds the batch already appended (anti-join yields
-nothing) but the scratch table non-empty, and replays the downstream
-stages from it; every downstream step is idempotent (exact regroup is
-deterministic, bucket delta anti-joins already-bucketed reps, edge append
-anti-joins existing edges, labels/assignment are deterministic replaces).
+of a crashed update finds the scratch table non-empty and replays the
+downstream stages from it; if the NEXT update carries a *different*
+batch, the leftover scratch is folded into it (union on file_id) rather
+than clobbered, so a crashed batch's rows always reach every downstream
+stage no matter what is submitted next. The fingerprint append itself is
+derived from the scratch (append = scratch ∖ fingerprints), which covers
+both crash windows — before the append and after it — and every
+downstream step is idempotent (exact regroup is deterministic, bucket
+delta anti-joins already-bucketed reps, edge append anti-joins existing
+edges, labels/assignment are deterministic replaces).
 """
 
 from __future__ import annotations
@@ -132,17 +137,23 @@ def incremental_update(
         rows=cfg.lsh_rows,
     ).join(existing, "file_id", "left_anti")
 
+    leftover = cat.exists(fpb_tbl) and (cat.rows(fpb_tbl) or 0) > 0
     if not fp_new.isEmpty():
-        cat.write(fp_new, fpb_tbl)
-        fpb = cat.read(fpb_tbl)
-        counts["fingerprints_appended"] = cat.rows(fpb_tbl) or 0
-        cat.append(fpb, pipe._tbl("fingerprints"))
-    elif cat.exists(fpb_tbl) and (cat.rows(fpb_tbl) or 0) > 0:
-        # a previous update appended this batch but crashed downstream —
-        # replay the remaining stages from the staged batch
-        fpb = cat.read(fpb_tbl)
-        counts["fingerprints_appended"] = 0
-    else:
+        if leftover:
+            # a PREVIOUS update crashed mid-run leaving a staged batch that
+            # never reached the downstream stages. Fold it into this batch
+            # (disjoint-or-identical rows, so dropDuplicates on file_id is
+            # exact) instead of clobbering it — otherwise the crashed
+            # batch's rows would sit in the fingerprints table but never
+            # enter exact/buckets/edges/assignment. replace() handles the
+            # scratch table appearing in its own input plan.
+            merged = fp_new.unionByName(cat.read(fpb_tbl)).dropDuplicates(
+                ["file_id"]
+            )
+            cat.replace(merged, fpb_tbl)
+        else:
+            cat.write(fp_new, fpb_tbl)
+    elif not leftover:
         # true no-op (batch already fully applied): report current state
         counts["fingerprints_appended"] = 0
         for stage in ("exact", "buckets", "labels", "assignment"):
@@ -151,6 +162,19 @@ def incremental_update(
         _mark("fingerprints")
         counts["stage_seconds"] = stage_seconds
         return counts
+    # the staged batch (this batch ∪ any crashed predecessor) drives every
+    # downstream stage; append whatever part of it the fingerprint table
+    # does not already hold — covers BOTH crash windows (scratch committed
+    # before the append vs after it). localCheckpoint breaks the lineage
+    # on `existing` so the append never reads the table it writes.
+    fpb = cat.read(fpb_tbl)
+    to_append = fpb.join(existing, "file_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_append = to_append.count()
+    if n_append:
+        cat.append(to_append, pipe._tbl("fingerprints"))
+    counts["fingerprints_appended"] = n_append
     _mark("fingerprints")
 
     fp_all = cat.read(pipe._tbl("fingerprints"))
@@ -259,18 +283,26 @@ def incremental_update(
     joined = ab_top.alias("ab").join(
         F.broadcast(nb.alias("nb")), bucket_key
     ).filter(F.col("nb.file_id") != F.col("ab.file_id"))
-    if cfg.require_agreement >= 2:
-        joined = joined.filter(
-            F.bit_count(F.col("nb.simhash").bitwiseXOR(F.col("ab.simhash")))
-            <= cfg.hamming_threshold
-        )
     w = Window.partitionBy("nb.file_id", "band_id").orderBy(
         F.xxhash64("ab.file_id", "band_id"), "ab.file_id"
     )
+    # rank FIRST, Hamming-kill AFTER — the same order as the batch path
+    # (candidate_pairs links k successors, then prefilters). Filtering
+    # before the rank would admit the (k+1)-th member whenever a top-k
+    # member fails Hamming, which both diverges from the batch rule and
+    # breaks the ab_top truncation-exactness argument above (the selected
+    # partners must be a function of the order alone).
     pairs = (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cfg.neighbors_per_band)
-        .groupBy(
+    )
+    if cfg.require_agreement >= 2:
+        pairs = pairs.filter(
+            F.bit_count(F.col("nb.simhash").bitwiseXOR(F.col("ab.simhash")))
+            <= cfg.hamming_threshold
+        )
+    pairs = (
+        pairs.groupBy(
             F.least(F.col("nb.file_id"), F.col("ab.file_id")).alias("id1"),
             F.greatest(F.col("nb.file_id"), F.col("ab.file_id")).alias("id2"),
         )

@@ -1662,7 +1662,18 @@ LIMIT 10
 # equivalence test). Same pattern as ``ivf_full_probe``.
 # ---------------------------------------------------------------------------
 
-_ORACLE_FP_DIR = "/root/repo/dist/oracle_fp"
+# derived from the package location (<repo>/dedupe_spark/plans/queries.py →
+# <repo>/dist/oracle_fp) so a checkout anywhere materializes and reads its
+# OWN oracle payloads — a hardcoded absolute path would write into a foreign
+# directory on any other machine. The static oracle SQL strings interpolate
+# this at import time, so Spark writes and the DuckDB twin reads agree.
+import os as _os
+
+_ORACLE_FP_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "dist",
+    "oracle_fp",
+)
 
 
 def _materialize_for_oracle(df: DataFrame, name: str) -> None:

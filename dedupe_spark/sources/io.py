@@ -79,7 +79,11 @@ def read_documents_as_files(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_conflict_free_names(
-    df: DataFrame, *, path_col: str = "path", id_col: str = "file_id"
+    df: DataFrame,
+    *,
+    path_col: str = "path",
+    id_col: str = "file_id",
+    max_rounds: int = 16,
 ) -> DataFrame:
     """S8 flat-destination conflict resolution (file_organizer.py:194-224).
 
@@ -87,22 +91,68 @@ def with_conflict_free_names(
     from different source dirs can share a basename; the reference walks
     the names sequentially, keeping a mutable seen-set and appending
     ``_1, _2, …`` before the extension. The relational form: window over
-    the basename ordered by ``id_col`` — the first claimant keeps the bare
-    name, the k-th gets ``stem_k.ext``. Deterministic (id orders claims)
-    and skew-safe: the window partitions on the full basename, whose
-    cardinality grows with the corpus (no single hot partition).
+    the CURRENT name ordered by (already-renamed?, ``id_col``) — the first
+    claimant keeps the name, the k-th gets ``stem_k.ext`` — iterated to a
+    fixpoint, because a synthesized ``a_1.txt`` can itself collide with a
+    GENUINE ``a_1.txt`` from another directory (one pass over raw
+    basenames misses exactly that case; the reference's seen-set re-checks
+    every candidate). Un-renamed claimants win ties so a genuine name is
+    never displaced by a synthesized one. Deterministic (id orders
+    claims); skew-safe (the window partitions on the name, whose
+    cardinality grows with the corpus). Collision-free inputs converge in
+    one round with zero renames; each extra round only runs when a rename
+    cascade actually occurred — flat output is the reference's
+    small-destination mode, so the per-round driver check is not on the
+    warehouse-scale path (partitioned output, the default, never needs
+    this at all). After ``max_rounds`` any still-colliding stragglers get
+    a ``_<id>`` suffix, unique by construction since ids are unique.
     """
     base = F.element_at(F.split(F.col(path_col), "/"), -1)
-    ext = F.regexp_extract(base, r"(\.[^.\/]*)$", 1)
-    stem = base.substr(F.lit(1), F.length(base) - F.length(ext))
-    rn = F.row_number().over(
-        Window.partitionBy(base.alias("__name")).orderBy(F.col(id_col))
-    )
-    return df.withColumn(
-        "out_name",
-        F.when(rn == 1, base).otherwise(
-            F.concat(stem, F.lit("_"), (rn - 1).cast("string"), ext)
-        ),
+    out = df.withColumn("out_name", base).withColumn("_renamed", F.lit(0))
+    for _ in range(max_rounds):
+        ext = F.regexp_extract(F.col("out_name"), r"(\.[^.\/]*)$", 1)
+        stem = F.col("out_name").substr(
+            F.lit(1), F.length("out_name") - F.length(ext)
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("out_name").orderBy("_renamed", F.col(id_col))
+        )
+        out = (
+            out.withColumn("_rn", rn)
+            .withColumn(
+                "out_name",
+                F.when(F.col("_rn") == 1, F.col("out_name")).otherwise(
+                    F.concat(stem, F.lit("_"), (F.col("_rn") - 1).cast("string"), ext)
+                ),
+            )
+            .withColumn(
+                "_renamed",
+                F.when(F.col("_rn") == 1, F.col("_renamed")).otherwise(F.lit(1)),
+            )
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # bound the iterated plan depth
+        )
+        n_dup = (
+            out.groupBy("out_name")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup == 0:
+            return out.drop("_renamed")
+    w = Window.partitionBy("out_name").orderBy("_renamed", F.col(id_col))
+    ext = F.regexp_extract(F.col("out_name"), r"(\.[^.\/]*)$", 1)
+    stem = F.col("out_name").substr(F.lit(1), F.length("out_name") - F.length(ext))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "out_name",
+            F.when(F.col("_rn") == 1, F.col("out_name")).otherwise(
+                F.concat(stem, F.lit("_"), F.col(id_col).cast("string"), ext)
+            ),
+        )
+        .drop("_rn", "_renamed")
     )
 
 

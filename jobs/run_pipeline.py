@@ -148,11 +148,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.update:
         from dedupe_spark.plans.incremental import incremental_update, update_advice
 
-        advice = update_advice(spark, cfg, batch_rows=files.count())
-        if not args.quiet and advice["recommendation"] != "incremental":
+        if not args.quiet:
             # advisory only — the operator asked for an update, run it; the
-            # planner's reasons are surfaced so the cost is not a surprise
-            print(json.dumps({"advice": advice}), file=sys.stderr)
+            # planner's reasons are surfaced so the cost is not a surprise.
+            # Gated on --quiet: the advisory costs a batch count plus a
+            # corpus-wide bucket aggregation, which a production (quiet)
+            # update should not pay just to discard the answer.
+            advice = update_advice(spark, cfg, batch_rows=files.count())
+            if advice["recommendation"] != "incremental":
+                print(json.dumps({"advice": advice}), file=sys.stderr)
         ran = incremental_update(spark, files, cfg)
     else:
         ran = pipe.run(files, resume=not args.no_resume, until=args.until)

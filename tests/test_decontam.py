@@ -157,3 +157,14 @@ def test_cross_dedupe_empty_sides(spark):
     rows = cross_dedupe(corpus, empty).collect()
     assert [(r["id"], r["matched"], r["ref_id"]) for r in rows] == [("1", False, None)]
     assert cross_dedupe(empty, corpus).count() == 0
+
+
+def test_quality_filter_null_group_rows_survive(spark):
+    """Docs with a NULL group value form their own group (the gate applies
+    to the ungrouped class too) — a plain equi-join would silently drop
+    every one of them regardless of score."""
+    rows = [(i, "en", " ".join(f"t{j}" for j in range(5 + i * 20))) for i in range(10)]
+    rows += [(100 + i, None, " ".join(f"n{j}" for j in range(5 + i * 20))) for i in range(10)]
+    kept = quality_percentile_filter(_mk_docs(spark, rows), keep_frac=0.4)
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == {6, 7, 8, 9, 106, 107, 108, 109}

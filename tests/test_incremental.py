@@ -133,3 +133,50 @@ def test_update_advice_counts_stale_hot_buckets(spark, split_runs):
         # original bucket table
         clean = pipe.catalog.read("inc/buckets").filter(F.col("band_id") != 99)
         pipe.catalog.replace(clean, "inc/buckets")
+
+
+@pytest.mark.parametrize("crash_after_append", [False, True])
+def test_crashed_batch_survives_a_different_next_batch(
+    spark, corpus, tmp_path, crash_after_append
+):
+    """A staged batch left behind by a crashed update must reach the
+    downstream stages even when the NEXT update carries a DIFFERENT batch:
+    the leftover scratch is folded into the new batch, never clobbered.
+    Exercised for both crash windows — before the fingerprint append and
+    after it — and checked by exact cluster equality with a one-shot run
+    over the union."""
+    from dedupe_spark.functions.fingerprint import with_fingerprints
+
+    all_files = files_dataframe(spark, corpus).cache()
+    part = F.crc32(F.col("path")) % 3
+    base = all_files.filter(part == 0)
+    batch_a = all_files.filter(part == 1)
+    batch_b = all_files.filter(part == 2)
+
+    wh = str(tmp_path / f"wh_{crash_after_append}")
+    cfg = PipelineConfig(run_id="cr", warehouse=wh)
+    pipe = StagedPipeline(spark, cfg)
+    pipe.run(base)
+
+    # simulate batch A crashing mid-update: scratch committed, fingerprint
+    # append maybe done, downstream stages never ran
+    fp_a = with_fingerprints(
+        batch_a,
+        shingle_k=cfg.shingle_k,
+        num_perm=cfg.num_perm,
+        bands=cfg.lsh_bands,
+        rows=cfg.lsh_rows,
+    )
+    pipe.catalog.write(fp_a, "cr/fp_batch")
+    if crash_after_append:
+        pipe.catalog.append(pipe.catalog.read("cr/fp_batch"), "cr/fingerprints")
+
+    # the operator moves on and submits a different batch B
+    counts = incremental_update(spark, batch_b, cfg)
+    assert counts["fingerprints_appended"] == (
+        batch_b.count() if crash_after_append else batch_a.count() + batch_b.count()
+    )
+
+    one = StagedPipeline(spark, PipelineConfig(run_id="one", warehouse=wh))
+    one.run(all_files)
+    assert _clusters(pipe.result()) == _clusters(one.result())

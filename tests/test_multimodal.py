@@ -181,3 +181,15 @@ def test_real_decode_raises_cleanly_without_pillow(spark):
     assert len(rows) == 6
     if not _has_pillow():
         assert all(r["error"] is not None for r in rows)
+
+
+def test_fake_resize_single_output_sample():
+    """out_w*out_h == 1 must return the first pixel (the linspace(n, 1)
+    convention), not divide by zero."""
+    import numpy as np
+
+    from dedupe_spark.operators.multimodal import fake_resize
+
+    out = fake_resize(bytes([10, 200, 30]), "img", 1, 1)
+    assert out.shape == (1,) and out.dtype == np.float32
+    assert abs(float(out[0]) - 10 / 255.0) < 1e-7

@@ -69,3 +69,27 @@ def test_no_single_task_global_window(spark):
     # every Window over n_tokens must carry a partition spec (_pid)
     for m in re.finditer(r"Window \[sum\(n_tokens[^\]]*\], \[([^\]]*)\]", plan):
         assert "_pid" in m.group(1) or "doc_id" in m.group(1)
+
+
+def test_pack_offsets_numeric_plan_single_corpus_shuffle(spark):
+    """Numeric-id path: quantile buckets mean the corpus is hash-shuffled
+    ONCE (the window's own requirement) — no rangepartitioning at all, and
+    the only other keyed exchange carries post-partial-agg bucket totals.
+    The first design executed the range exchange twice plus a pid-hash
+    exchange (~3x the documented bytes); this pins the fixed plan."""
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators.packing import pack_offsets
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("n_tokens")
+    )
+    plan = (
+        pack_offsets(df, num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan, plan[:600]
+    keyed = plan.count("Exchange hashpartitioning")
+    assert keyed <= 2, plan[:900]  # window input + tiny totals partial-agg

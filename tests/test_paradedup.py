@@ -61,3 +61,19 @@ def test_deterministic_under_input_order(spark):
         .collect()
     )
     assert a == b
+
+
+def test_regex_significant_separator_is_literal(spark):
+    """`sep` must be treated as a LITERAL on both the split and the rejoin
+    ('.' is regex-all, '||' matches empty) — a regex split with a literal
+    join garbles the text."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta||gamma"), (2, "gamma||alpha beta")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedupe_paragraphs(docs, sep="||").collect()
+    }
+    assert out[1] == "alpha beta||gamma"
+    assert out[2] == ""  # both paragraphs already seen in doc 1 — all drop

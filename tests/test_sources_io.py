@@ -196,3 +196,27 @@ def test_write_output_flat_mode(spark, tmp_path):
     assert not any(d.startswith("lang=") for d in os.listdir(dest))
     got = {r["out_name"] for r in spark.read.parquet(dest).collect()}
     assert got == {"x.py", "x_1.py"}
+
+
+def test_conflict_free_names_synthesized_never_collides_with_genuine(spark):
+    """A synthesized `a_1.txt` must not collide with a GENUINE `a_1.txt`
+    from another directory (the one-pass-over-raw-basenames failure mode):
+    resolution iterates on the FINAL name space, genuine names win ties,
+    and the output names are globally unique."""
+    from dedupe_spark.sources.io import with_conflict_free_names
+
+    df = spark.createDataFrame(
+        [
+            ("f1", "x/a.txt"),
+            ("f2", "y/a.txt"),      # would synthesize a_1.txt ...
+            ("f3", "z/a_1.txt"),    # ... which this genuine name occupies
+        ],
+        "file_id string, path string",
+    )
+    rows = with_conflict_free_names(df).collect()
+    out = {r["file_id"]: r["out_name"] for r in rows}
+    names = [r["out_name"] for r in rows]
+    assert len(set(names)) == len(names), names
+    assert out["f1"] == "a.txt"
+    assert out["f3"] == "a_1.txt"   # genuine claimant keeps its own name
+    assert out["f2"] == "a_1_1.txt"  # renamed row cascades one more round
