@@ -81,3 +81,5 @@ class PipelineConfig:
             raise ValueError("simhash_bits must be a positive multiple of 64")
         if self.rep_order not in ("default", "quality"):
             raise ValueError("rep_order must be 'default' or 'quality'")
+        if self.min_cluster_size < 2:
+            raise ValueError("min_cluster_size must be >= 2 (pairs at minimum)")

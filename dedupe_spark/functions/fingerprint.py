@@ -250,40 +250,55 @@ _FP_STRUCT = T.StructType(
 )
 
 
+def _shingle_batch_prologue(
+    content: pd.Series, shingle_k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared tokenize → hash → roll → unique prologue of every
+    fingerprint UDF; returns ``(vu, u_offsets, counts, tok_counts)``.
+
+    One implementation on purpose: the simhash-only and wide-simhash UDFs
+    document bit-identical simhash values to the full fingerprint UDF,
+    which is only guaranteed if they literally share this path (the block
+    used to be copy-pasted into all three closures, where a one-sided edit
+    would silently break that contract).
+
+    Mechanics: hash every token in the batch in ONE hash_array call, roll
+    the k-window over each row's hash slice (no shingle strings built),
+    then run the heavy kernels BATCHED over the whole Arrow batch —
+    segment reduceat instead of 4096 small-matrix calls (~2× throughput,
+    identical outputs).
+    """
+    n = len(content)
+    tokens_per_row: list[list[str]] = [
+        tokenize(c) if isinstance(c, str) else [] for c in content
+    ]
+    tok_counts = np.fromiter(
+        (len(t) for t in tokens_per_row), dtype=np.int64, count=n
+    )
+    flat_tokens = [t for row in tokens_per_row for t in row]
+    flat_hashes = _hash_shingles_batch(flat_tokens)
+    offsets = np.concatenate(([0], np.cumsum(tok_counts)))
+    rolled = [
+        shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
+        for i in range(n)
+    ]
+    lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
+    flat_rolled = np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    vu, counts = _unique_per_row(flat_rolled, row_idx, n)
+    u_offsets = np.concatenate(([0], np.cumsum(counts)))
+    return vu, u_offsets, counts, tok_counts
+
+
 def make_fingerprint_udf(shingle_k: int, num_perm: int, bands: int, rows: int):
     """Build the Arrow-batched fingerprint UDF (closure carries config)."""
     a_coef, b_coef = _minhash_coeffs(num_perm)
 
     @pandas_udf(_FP_STRUCT)
     def fingerprint_udf(content: pd.Series) -> pd.DataFrame:
-        n = len(content)
-        tokens_per_row: list[list[str]] = [
-            tokenize(c) if isinstance(c, str) else [] for c in content
-        ]
-        tok_counts = np.fromiter(
-            (len(t) for t in tokens_per_row), dtype=np.int64, count=n
+        vu, u_offsets, counts, tok_counts = _shingle_batch_prologue(
+            content, shingle_k
         )
-        # hash every token in the batch in ONE hash_array call, then roll
-        # the k-window over each row's hash slice — no shingle strings built
-        flat_tokens = [t for row in tokens_per_row for t in row]
-        flat_hashes = _hash_shingles_batch(flat_tokens)
-        offsets = np.concatenate(([0], np.cumsum(tok_counts)))
-
-        # roll the k-window per row (cheap), then run the heavy kernels
-        # BATCHED over the whole Arrow batch — segment reduceat instead of
-        # 4096 small-matrix calls (~2× throughput, identical outputs)
-        rolled = [
-            shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
-            for i in range(n)
-        ]
-        lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
-        flat_rolled = (
-            np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
-        )
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        vu, counts = _unique_per_row(flat_rolled, row_idx, n)
-        u_offsets = np.concatenate(([0], np.cumsum(counts)))
-
         simhashes = _simhash_batch(vu, u_offsets, counts)
         sig_matrix = _minhash_batch(vu, u_offsets, counts, a_coef, b_coef)
         bkey_matrix = _band_hashes_batch(sig_matrix, bands, rows)
@@ -318,27 +333,9 @@ def make_simhash_udf(shingle_k: int):
 
     @pandas_udf(_SIMHASH_STRUCT)
     def simhash_udf(content: pd.Series) -> pd.DataFrame:
-        n = len(content)
-        tokens_per_row: list[list[str]] = [
-            tokenize(c) if isinstance(c, str) else [] for c in content
-        ]
-        tok_counts = np.fromiter(
-            (len(t) for t in tokens_per_row), dtype=np.int64, count=n
+        vu, u_offsets, counts, tok_counts = _shingle_batch_prologue(
+            content, shingle_k
         )
-        flat_tokens = [t for row in tokens_per_row for t in row]
-        flat_hashes = _hash_shingles_batch(flat_tokens)
-        offsets = np.concatenate(([0], np.cumsum(tok_counts)))
-        rolled = [
-            shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
-            for i in range(n)
-        ]
-        lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
-        flat_rolled = (
-            np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
-        )
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        vu, counts = _unique_per_row(flat_rolled, row_idx, n)
-        u_offsets = np.concatenate(([0], np.cumsum(counts)))
         return pd.DataFrame(
             {
                 "simhash": _simhash_batch(vu, u_offsets, counts),
@@ -386,27 +383,10 @@ def make_wide_simhash_udf(shingle_k: int, bits: int):
 
     @pandas_udf(struct)
     def wide_simhash_udf(content: pd.Series) -> pd.DataFrame:
+        vu, u_offsets, counts, tok_counts = _shingle_batch_prologue(
+            content, shingle_k
+        )
         n = len(content)
-        tokens_per_row: list[list[str]] = [
-            tokenize(c) if isinstance(c, str) else [] for c in content
-        ]
-        tok_counts = np.fromiter(
-            (len(t) for t in tokens_per_row), dtype=np.int64, count=n
-        )
-        flat_tokens = [t for row in tokens_per_row for t in row]
-        flat_hashes = _hash_shingles_batch(flat_tokens)
-        offsets = np.concatenate(([0], np.cumsum(tok_counts)))
-        rolled = [
-            shingle_hash_rolling(flat_hashes[offsets[i] : offsets[i + 1]], shingle_k)
-            for i in range(n)
-        ]
-        lens = np.fromiter((r.size for r in rolled), dtype=np.int64, count=n)
-        flat_rolled = (
-            np.concatenate(rolled) if n else np.empty(0, dtype=np.uint64)
-        )
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        vu, counts = _unique_per_row(flat_rolled, row_idx, n)
-        u_offsets = np.concatenate(([0], np.cumsum(counts)))
         word_cols = [
             _simhash_batch(_remix(vu, j), u_offsets, counts) for j in range(words)
         ]
@@ -426,8 +406,17 @@ def make_wide_simhash_udf(shingle_k: int, bits: int):
 
 
 def file_id_col(repo: str = "repo", path: str = "path", commit: str = "commit") -> Column:
-    """Stable primary key: sha256 over NUL-joined identity columns."""
-    return F.sha2(F.concat_ws("\x00", F.col(repo), F.col(path), F.col(commit)), 256)
+    """Stable primary key: sha256 over NUL-joined identity columns.
+
+    Each column is null-coalesced to a distinct sentinel BEFORE the join:
+    ``concat_ws`` silently SKIPS null arguments, so without the sentinels
+    ``('r', NULL, 'x')`` and ``('r', 'x', NULL)`` would both serialize to
+    ``'r\\x00x'`` and collide to one file_id — cross-matching two distinct
+    files through every downstream equi-join on the key."""
+    def _nn(c: str) -> Column:
+        return F.coalesce(F.col(c), F.lit("\x01null\x01"))
+
+    return F.sha2(F.concat_ws("\x00", _nn(repo), _nn(path), _nn(commit)), 256)
 
 
 def with_fingerprints(

@@ -113,10 +113,29 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     )
 
     out = fp.join(assignment, "file_id", "left")
-    out = with_representative(out, order_cols=order_cols_for(cfg.rep_order))
     # contract: clusters need >= min_cluster_size members (reference
-    # duplicate_detector.py:88-89); CC + exact tiers guarantee >=2 already,
-    # singletons carry null cluster_id.
+    # duplicate_detector.py:88-89). CC + exact tiers guarantee >=2, so the
+    # default (2) costs nothing; a stricter setting demotes undersized
+    # clusters to singletons (null cluster_id) BEFORE representative
+    # election, with one cluster-keyed aggregation + join — only paid when
+    # the knob is actually turned.
+    if cfg.min_cluster_size > 2:
+        sizes = (
+            out.filter(F.col("cluster_id").isNotNull())
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("_csz"))
+        )
+        out = (
+            out.join(sizes, "cluster_id", "left")
+            .withColumn(
+                "cluster_id",
+                F.when(
+                    F.col("_csz") >= cfg.min_cluster_size, F.col("cluster_id")
+                ),
+            )
+            .drop("_csz")
+        )
+    out = with_representative(out, order_cols=order_cols_for(cfg.rep_order))
     return out
 
 
@@ -129,10 +148,19 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via sha256-groupBy: (id, cluster_id, cluster_size, is_representative).
 
     cluster_id = min(id) over identical text; representative = min id.
-    One shuffle; map-side partial aggregation applies.
+    One shuffle; map-side partial aggregation applies. NULL-text rows are
+    their own singletons: ``sha2(NULL)`` is NULL and an inner equi-join
+    never matches NULL keys, so without the coalesce below every
+    null-content row would silently VANISH from the output (fewer rows
+    out than in, no error channel). The ``null:<id>`` surrogate cannot
+    collide with a real sha (hex digits only).
     """
     keyed = df.select(
-        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha")
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            F.sha2(F.col(text_col), 256),
+            F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+        ).alias("sha"),
     )
     g = keyed.groupBy("sha").agg(
         F.min("id").alias("cluster_id"), F.count("*").alias("cluster_size")
@@ -334,9 +362,15 @@ def simhash_dedupe(
     w_rep = F.min("id").over(
         Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
     )
-    return out.select(
+    # materialize, then release the cache — same lifecycle hygiene as
+    # ngram_jaccard_dedupe: a cache left behind per call accumulates
+    # unified-pool pressure that evicts the UDF caches at scale (the
+    # measured 296 s → 592 s failure mode, BENCH/BASELINE.md)
+    result = out.select(
         "id", "cluster_id", (F.col("id") == w_rep).alias("is_representative")
-    )
+    ).localCheckpoint(eager=True)
+    healthy.unpersist()
+    return result
 
 
 # Default document-frequency cap for the n-gram set-similarity join. The

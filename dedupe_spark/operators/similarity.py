@@ -191,7 +191,15 @@ def ann_lsh_topk(
 
 @pandas_udf(T.DoubleType())
 def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched cosine over two array columns (numpy, no per-row Python)."""
+    """Arrow-batched cosine over two array columns (numpy, no per-row Python).
+
+    Rounded to 6 places BEFORE any threshold comparison — deliberately the
+    opposite of the Jaccard convention (dedup.py filters the unrounded
+    ratio): Jaccard is exact rational arithmetic that every engine
+    reproduces bit-for-bit, while float cosine differs between numpy and
+    the DuckDB oracle in the low-order bits, so both engines must quantize
+    FIRST or boundary pairs flake. The oracle SQL applies the identical
+    round-then-compare (SQL_EMBEDDING_DUP_PAIRS)."""
     ma = np.vstack(a.to_numpy()).astype(np.float64)
     mb = np.vstack(b.to_numpy()).astype(np.float64)
     num = (ma * mb).sum(axis=1)
@@ -385,21 +393,33 @@ def _train_centroids(
     md5-prefix sampling keeps the training set stable across runs and
     cluster sizes; the driver never holds more than ``train_sample_rows``
     rows — the standard IVF recipe: the index is trained on a sample, never
-    the full corpus. Returns L2-normalized centroids, or None when there is
-    nothing to train on (empty corpus, or the md5-cutoff sample rounded down
-    to zero rows).
+    the full corpus. Returns L2-normalized centroids, or None ONLY for a
+    genuinely empty corpus: when the md5 cutoff rounds to zero kept rows
+    (rate < 1/65536 — a corpus more than ~65k× the sample budget), the
+    sampler falls back to a deterministic bounded take (ascending-id
+    TakeOrdered: per-partition heaps, no full sort) rather than returning
+    None — a None here makes every caller emit an EMPTY result for a
+    non-empty corpus (semdedup would silently drop the whole dataset).
     """
     from dedupe_spark.operators.sampling import deterministic_sample
 
     n = corpus.count()
-    rate = min(1.0, train_sample_rows / max(n, 1))
+    if n == 0:
+        return None
+    rate = min(1.0, train_sample_rows / n)
     sample = (
         deterministic_sample(corpus, id_col, rate=rate) if rate < 1.0 else corpus
     )
     s_tbl = sample.select(vec_col).toArrow()
     s_vecs = s_tbl.column(0).combine_chunks()
     n_train = len(s_vecs)
-    if n == 0 or n_train == 0:
+    if n_train == 0:
+        s_tbl = (
+            corpus.orderBy(id_col).limit(train_sample_rows).select(vec_col).toArrow()
+        )
+        s_vecs = s_tbl.column(0).combine_chunks()
+        n_train = len(s_vecs)
+    if n_train == 0:
         return None
     train = _list_column_matrix(s_vecs, n_train, vec_col)
     train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)

@@ -37,7 +37,11 @@ def q_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EXACT_DEDUPE = """
 WITH keyed AS (
-  SELECT doc_id AS id, sha256(text) AS sha FROM documents
+  -- null-text rows are singletons keyed by a 'null:<id>' surrogate,
+  -- matching the engine (an equi-join would silently drop NULL keys)
+  SELECT doc_id AS id,
+         COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR)) AS sha
+  FROM documents
 ), g AS (
   SELECT sha, min(id) AS cluster_id, count(*) AS cluster_size
   FROM keyed GROUP BY sha

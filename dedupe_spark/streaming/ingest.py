@@ -67,15 +67,33 @@ def ingest_files_stream(
 
     seen_key = f"_ingested_batches/{cfg.run_id}"
 
+    def _existing_ids(sess: SparkSession) -> DataFrame | None:
+        if catalog.exists(table):
+            return catalog.read(table).select("file_id")
+        # FIRST-append crash window: Catalog.write commits the manifest
+        # only AFTER the parquet write, so a crash in between leaves data
+        # files with exists() still False — a retry that skipped the
+        # anti-join here would append the whole batch a second time. Key
+        # against the data files directly whenever any exist. (Under
+        # Iceberg, exists() is the atomic table commit and this path is
+        # unreachable.)
+        import glob
+        import os
+
+        p = catalog.path(table)
+        if not catalog.iceberg and glob.glob(os.path.join(p, "part-*")):
+            return sess.read.parquet(p).select("file_id")
+        return None
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if catalog.rows(f"{seen_key}/{batch_id}") is not None:
             return  # retried micro-batch — already fully committed
-        if catalog.exists(table):
+        existing = _existing_ids(batch_df.sparkSession)
+        if existing is not None:
             # keyed append: drop any file_id already in the table — covers
             # crash-retry partial appends AND cross-batch re-arrivals, so
             # the table is identical with or without a crash (true
             # exactly-once on file_id; module docstring)
-            existing = catalog.read(table).select("file_id")
             batch_df = batch_df.join(existing, "file_id", "left_anti")
         catalog.append(batch_df, table)
         catalog.write(

@@ -8,13 +8,19 @@ Streaming is meant to be used; the tests exploit that by checking
 stream-over-file-source == batch-over-the-same-parquet.
 
 Scale/state notes:
-  * every stateful op is watermarked, so state is bounded and late rows are
-    dropped deterministically — unbounded state is the streaming analog of
-    the O(n²) loop we removed from the batch path.
+  * every WINDOWED stateful op is watermarked, so its state is bounded and
+    late rows are dropped deterministically — unbounded state is the
+    streaming analog of the O(n²) loop we removed from the batch path.
   * exact dedup uses ``dropDuplicatesWithinWatermark`` on content sha — the
     state store keys on the 64-hex sha, not the payload.
   * ``running_totals_stateful`` shows the applyInPandasWithState escape
-    hatch for operators Spark lacks (custom per-key accumulators).
+    hatch for operators Spark lacks (custom per-key accumulators). It is
+    the ONE deliberate exception to the bounded-state rule: a lifetime
+    running total never expires by definition, so its state grows with
+    key cardinality (one tiny tuple per user). Deployments with unbounded
+    key churn should add a GroupStateTimeout eviction — that changes the
+    semantics from "lifetime total" to "total since last seen", which is
+    a product decision, not a default this library should silently make.
 """
 
 from __future__ import annotations
@@ -68,13 +74,23 @@ def streaming_exact_dedupe(
     ``dropDuplicatesWithinWatermark`` bounds the sha state store to the
     watermark horizon — the streaming analog of the exact-tier
     groupBy(content_sha) (operators/blocking.py:exact_groups).
+
+    NULL-content rows pass through UNdeduped: ``sha2(NULL)`` is NULL, and
+    dropDuplicates treats NULL as an ordinary key — without the split
+    below, 100 distinct null-content files would collapse to one
+    "duplicate" group and 99 rows would silently vanish. Null content is
+    an error condition (the batch pipeline keeps such rows with an error
+    column), not a duplicate relation.
     """
     keyed = files.withColumn("content_sha", F.sha2(F.col(content_col), 256))
+    healthy = keyed.filter(F.col("content_sha").isNotNull())
+    errored = keyed.filter(F.col("content_sha").isNull())
     if keyed.isStreaming:
-        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["content_sha"]
-        )
-    return keyed.dropDuplicates(["content_sha"])
+        deduped = healthy.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_sha"])
+        return deduped.unionByName(errored)
+    return healthy.dropDuplicates(["content_sha"]).unionByName(errored)
 
 
 def sessionize(

@@ -462,3 +462,44 @@ def test_stratified_sample_rates_and_determinism(spark):
     )
     with pytest.raises(ValueError):
         stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_exact_dedupe_null_text_rows_are_kept_singletons(spark):
+    """sha2(NULL) is NULL and inner equi-joins drop NULL keys — null-text
+    rows must come back as their own singletons, not vanish."""
+    from dedupe_spark.operators.dedup import exact_dedupe
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, None)], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in exact_dedupe(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["cluster_size"] == 2 and out[2]["cluster_id"] == 1
+    for i in (3, 4):  # each null row is its own cluster
+        assert out[i]["cluster_size"] == 1 and out[i]["cluster_id"] == i
+        assert out[i]["is_representative"]
+
+
+def test_min_cluster_size_demotes_small_clusters(spark):
+    """min_cluster_size=3: a 2-member exact group must come back as two
+    singletons (null cluster_id), while a 3-member group keeps its label."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.operators.dedup import dedup_pipeline
+
+    rows = [("r", f"p{i}", "0", "py", "pair content here") for i in range(2)]
+    rows += [("r", f"t{i}", "0", "py", "trio content here") for i in range(3)]
+    rows += [("r", "solo", "0", "py", "unique content entirely")]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = dedup_pipeline(files, PipelineConfig(min_cluster_size=3))
+    by_path = {r["path"]: r["cluster_id"] for r in out.collect()}
+    assert by_path["p0"] is None and by_path["p1"] is None
+    assert by_path["t0"] is not None
+    assert by_path["t0"] == by_path["t1"] == by_path["t2"]
+    assert by_path["solo"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_cluster_size"):
+        PipelineConfig(min_cluster_size=1)

@@ -138,3 +138,16 @@ def test_batched_kernels_match_per_doc():
         ref_sig = minhash_from_hashes(h, a, b)
         assert (sig_b[i] == ref_sig).all(), i
         assert (band_b[i] == band_hashes(ref_sig, 32, 4)).all(), i
+
+
+def test_file_id_distinct_for_null_column_permutations(spark):
+    """concat_ws skips nulls, so ('r', NULL, 'x') and ('r', 'x', NULL)
+    would collide without per-column sentinels — ids must be distinct."""
+    from dedupe_spark.functions.fingerprint import file_id_col
+
+    df = spark.createDataFrame(
+        [("r", None, "x"), ("r", "x", None), ("r", "x", "x")],
+        "repo string, path string, commit string",
+    )
+    ids = [r["fid"] for r in df.select(file_id_col().alias("fid")).collect()]
+    assert len(set(ids)) == 3, ids

@@ -268,3 +268,31 @@ def test_semdedup_exact_direction_supernodes(spark):
     assert sum(1 for i in range(51) if out[i]["keep"]) == 1
     assert out[60]["cluster_id"] == 60 and out[61]["cluster_id"] == 60
     assert out[70]["cluster_id"] is None and out[70]["keep"]
+
+
+def test_train_centroids_survives_zero_rate_sample(spark):
+    """When train_sample_rows/n rounds the md5 cutoff to ZERO kept rows
+    (corpus more than ~65k x the sample budget), training must fall back
+    to a deterministic bounded take instead of returning None — a None
+    makes semdedup/ivf silently return EMPTY results for a non-empty
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators.similarity import _train_centroids, semdedup_assign
+
+    n = 70_000  # rate = 1/70000 -> int(rate * 65536) == 0
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), ((F.col("id") + 1) % 5).cast("float")
+        ).alias("embedding"),
+    )
+    cents = _train_centroids(
+        df, id_col="vec_id", vec_col="embedding", n_cells=4,
+        train_sample_rows=1, seed=42,
+    )
+    assert cents is not None and len(cents) >= 1
+    assigned = semdedup_assign(
+        df, n_cells=4, train_sample_rows=1, seed=42
+    )
+    assert assigned.count() == n

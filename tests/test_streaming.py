@@ -290,3 +290,54 @@ def test_ingest_retry_after_partial_append_is_exactly_once(spark, corpus, tmp_pa
     tbl = cat.read("crash1/fingerprints")
     assert tbl.count() == n
     assert tbl.select("file_id").distinct().count() == n
+
+
+def test_ingest_first_append_crash_before_manifest_commit(spark, corpus, tmp_path):
+    """The FIRST-append crash window: parquet data files exist but the
+    manifest commit never landed, so Catalog.exists() is still False. The
+    retry must key against the data files directly — skipping the
+    anti-join here appended the whole batch twice."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.fixtures import files_dataframe
+    from dedupe_spark.functions.fingerprint import with_fingerprints
+    from dedupe_spark.sources.catalog import Catalog
+    from dedupe_spark.streaming.ingest import ingest_files_stream
+
+    wh, src = str(tmp_path / "wh"), str(tmp_path / "files")
+    cfg = PipelineConfig(run_id="crash2", warehouse=wh)
+    files = files_dataframe(spark, corpus).cache()
+    files.write.parquet(src)
+    n = files.count()
+
+    cat = Catalog(spark, wh)
+    fp = with_fingerprints(
+        spark.read.parquet(src),
+        shingle_k=cfg.shingle_k,
+        num_perm=cfg.num_perm,
+        bands=cfg.lsh_bands,
+        rows=cfg.lsh_rows,
+    )
+    # data files WITHOUT a manifest entry — the pre-commit crash state
+    fp.limit(n // 2).write.parquet(cat.path("crash2/fingerprints"))
+    assert not cat.exists("crash2/fingerprints")
+
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(180)
+
+    tbl = cat.read("crash2/fingerprints")
+    assert tbl.count() == n
+    assert tbl.select("file_id").distinct().count() == n
+
+
+def test_streaming_exact_dedupe_null_content_rows_pass_through(spark):
+    """Distinct null-content files are NOT duplicates of each other — all
+    must survive (batch twin of the streaming split)."""
+    from dedupe_spark.streaming.ops import streaming_exact_dedupe
+
+    df = spark.createDataFrame(
+        [("a", "same"), ("b", "same"), ("c", None), ("d", None), ("e", None)],
+        "path string, content string",
+    )
+    out = streaming_exact_dedupe(df)
+    assert out.count() == 4  # 1 winner for 'same' + all 3 null rows
+    assert out.filter("content is null").count() == 3
