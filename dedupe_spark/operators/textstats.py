@@ -304,6 +304,92 @@ def quality_percentile_filter(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Model-based quality score: per-document mean log-probability under
+    an add-α-smoothed corpus bigram language model — the CCNet recipe
+    (Wenzek et al. 2020 §3.3: score every document with an LM, filter or
+    bucket on perplexity), with the external KenLM swapped for a bigram
+    model trained ON the corpus itself so the whole operator is
+    deterministic, self-contained, and SQL-oracle-checkable. Low (very
+    negative) scores mark improbable token sequences — the gibberish /
+    boilerplate tail a pretraining pipeline drops; near-zero scores mark
+    degenerate repetition (the model memorizes what dominates).
+
+    Two distributed passes over one shared bigram frame, all JVM-side:
+
+    1. **Model**: per-(doc, bigram) counts (map-side combinable), rolled
+       up to corpus bigram counts ``c2`` and prefix counts ``c1`` — the
+       c1 rollup reuses c2's shuffle output, so the model costs ONE wide
+       shuffle keyed on the bigram. Vocabulary size ``v`` is a 1-row
+       aggregate broadcast back (the A2 "share of corpus" shape — never
+       a global window).
+    2. **Score**: the per-doc bigram frame joins the model on the bigram
+       key and averages ``k·log((c2+α)/(c1+α·v))`` weighted by the
+       per-doc multiplicity ``k`` — joining DISTINCT doc-bigrams instead
+       of the raw token stream cuts the join input on repetitive docs
+       by their repetition factor.
+
+    Scale shape (100 TB): the model table is bounded by the corpus's
+    distinct-bigram count (Zipf: ≪ token count) and both joins are hash
+    equi-joins on the bigram string; the stopword-bigram skew on the
+    score join is the classic AQE-skew-split case (same mitigation the
+    n-gram Jaccard path documents). Self-training needs no second corpus
+    scan: model and score read the same cached/staged bigram frame.
+
+    Returns (doc_id, n_bigrams, lm_logp): docs with < 2 tokens score
+    NULL with n_bigrams = 0; lm_logp rounded to 4 places (float-parity
+    convention — summation order differs across engines).
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = base.select("doc_id", _tokens(F.col("text")).alias("t"))
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")
+        ).alias("gram"),
+    )
+    # one shared bigram frame: model (c2 → c1) and score both read dbg, so
+    # cut the lineage here — without it the tokenize→explode→groupBy
+    # recomputes once per consumer (3 scans of the corpus). The staged
+    # warehouse path would materialize this to parquet instead (the
+    # cache-vs-staged tradeoff documented at dedup.py's fingerprint cache).
+    dbg = bigrams.groupBy("doc_id", "gram").agg(F.count("*").alias("k"))
+    dbg = dbg.localCheckpoint(eager=False)
+    c2 = dbg.groupBy("gram").agg(F.sum("k").alias("c2"))
+    c1 = c2.select(
+        F.substring_index(F.col("gram"), " ", 1).alias("w1"), "c2"
+    ).groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    scored = (
+        dbg.join(c2, "gram")
+        .withColumn("w1", F.substring_index(F.col("gram"), " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * logp) / F.sum("k"), 4).alias("lm_logp"),
+        )
+    )
+    return base.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "lm_logp",
+    )
+
+
 if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     import sys
 

@@ -603,6 +603,53 @@ ORDER BY a.doc_id
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality score (Wenzek et al. 2020 §3.3):
+    mean log-probability of each document under an add-0.5-smoothed
+    bigram LM trained on the corpus itself. Two shuffles (model build,
+    per-doc average) over one shared bigram frame; vocabulary size is a
+    1-row broadcast total."""
+    from dedupe_spark.operators.textstats import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_LM_SCORE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+         i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t WHERE len(toks) >= 2
+), dbg AS (
+  SELECT doc_id, gram, count(*) AS k FROM bg GROUP BY doc_id, gram
+), c2 AS (
+  SELECT gram, sum(k) AS c2 FROM dbg GROUP BY gram
+), c1 AS (
+  SELECT split_part(gram, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(k) AS BIGINT) AS n_bigrams,
+         round(sum(k * ln((c2 + 0.5) / (c1 + 0.5 * v))) / sum(k), 4)
+           AS lm_logp
+  FROM dbg
+  JOIN c2 USING (gram)
+  JOIN c1 ON split_part(dbg.gram, ' ', 1) = c1.w1
+  CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.lm_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 Appendix C shape): every 20th doc
     plays the eval benchmark; the rest are the training corpus. A corpus
@@ -2401,6 +2448,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+        "lm_score": (q_lm_score, SQL_LM_SCORE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "cross_dedupe": (q_cross_dedupe, SQL_CROSS_DEDUPE),
         "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),

@@ -124,3 +124,40 @@ def test_repetition_stats_single_token_doc(spark):
     assert r["top_word_frac"] == 1.0
     assert r["top_bigram_frac"] is None
     assert r["dup_trigram_frac"] is None
+
+
+def test_lm_score_closed_form(spark):
+    """Hand-computed add-0.5 bigram LM on a 5-doc corpus, including the
+    degenerate rows (single token, empty text, null text)."""
+    import math
+
+    from dedupe_spark.operators.textstats import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # model: c2("a b")=3, c2("b a")=1; c1(a)=3, c1(b)=1; vocab {a,b,x,''} v=4
+    p_ab = math.log((3 + 0.5) / (3 + 0.5 * 4))   # 0.7
+    p_ba = math.log((1 + 0.5) / (1 + 0.5 * 4))   # 0.5
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["lm_logp"] == round((2 * p_ab + p_ba) / 3, 4)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["lm_logp"] == round(p_ab, 4)
+    for i in (3, 4, 5):  # <2 tokens: no bigrams, null score
+        assert out[i]["n_bigrams"] == 0 and out[i]["lm_logp"] is None
+
+
+def test_lm_score_ranks_repetition_above_gibberish(spark):
+    """The model trained on the corpus assigns higher mean log-prob to the
+    dominant pattern than to a one-off token salad — the property the
+    CCNet perplexity bucket actually uses."""
+    from dedupe_spark.operators.textstats import lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zq vx wk jj pq mn"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lm_logp"] for r in lm_score(df).collect()}
+    assert out[0] > out[99]
