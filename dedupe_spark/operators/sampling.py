@@ -105,6 +105,75 @@ def stratified_sample(
     return df.filter(_hash_key(id_col) < cut)
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    tau: float = 0.7,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted source resampling — the multilingual /
+    multi-source mixing op (mC4 §3.1, XLM-R §3.1: sample group g with
+    probability ∝ n_g^τ, τ < 1 flattens the head so low-resource groups
+    keep proportionally more of their data).
+
+    Given a row budget ``budget_frac · N``, group g's keep rate is
+
+        r_g = min(1, budget_frac · N · n_g^τ / (Z · n_g)),   Z = Σ n_h^τ
+
+    — downsampling only (rates cap at 1; upweighting beyond a group's own
+    size would duplicate rows, a different operator). The draw is the
+    same md5-prefix key as ``deterministic_sample``: content-stable
+    across runs, partitionings, and engines.
+
+    Unlike ``stratified_sample`` the rates are computed FROM the data:
+    one small groupBy builds the per-group counts, a 1-row aggregate
+    broadcasts the (N, Z) totals back (never a global window), and the
+    per-row cutoff arrives by broadcast-joining the #groups-row rate
+    table — the corpus itself is never shuffled, the whole sampled side
+    is one codegen'd filter. Rates are rounded to 6 places BEFORE the
+    cutoff floor (the float-parity convention — summation/``pow`` noise
+    across engines is ~1e-15, far below the 1e-6 grid; same argument as
+    the cosine rounding in operators/similarity.py).
+
+    NULL group values form their own stratum (null-safe join) — the same
+    NULL-group contract as ``quality_percentile_filter``.
+    """
+    if not (0 < tau <= 1):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if not (0 < budget_frac <= 1):
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").alias("_n")
+    )
+    tot = counts.agg(
+        F.sum("_n").alias("_total"),  # NOT '_N': resolution is case-insensitive
+        F.sum(F.pow(F.col("_n"), F.lit(tau))).alias("_z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("_total")
+                * F.pow(F.col("_n"), F.lit(tau))
+                / (F.col("_z") * F.col("_n")),
+            ),
+            6,
+        ).alias("_rate"),
+    )
+    cut = F.when(F.col("_rate") >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%04x", F.floor(F.col("_rate") * 65536).cast("int"))
+    )
+    return (
+        df.join(F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_g")))
+        .filter(_hash_key(id_col) < cut)
+        .drop("_g", "_rate")
+    )
+
+
 if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     import sys
 

@@ -1053,6 +1053,40 @@ ORDER BY doc_id
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (mC4/XLM-R recipe): keep rate
+    per source ∝ n^0.7 / n under a 50% row budget, md5-prefix draw.
+    Row-level value check: the oracle recomputes the exact kept set."""
+    from dedupe_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(
+        docs, "doc_id", "source", tau=0.7, budget_frac=0.5
+    ).orderBy("doc_id")
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n) AS total, sum(pow(n, 0.7)) AS z FROM counts
+), rates AS (
+  SELECT source,
+         round(least(1.0, 0.5 * total * pow(n, 0.7) / (z * n)), 6) AS r
+  FROM counts CROSS JOIN tot
+), cuts AS (
+  SELECT source,
+         CASE WHEN r >= 1.0 THEN 'g'
+              ELSE printf('%04x', CAST(floor(r * 65536) AS INT)) END AS cut
+  FROM rates
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN cuts c USING (source)
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < c.cut
+ORDER BY d.doc_id
+"""
+
+
 def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: global token offset
     and first/last training-chunk per document, via the two-pass
@@ -2459,6 +2493,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -503,3 +503,48 @@ def test_min_cluster_size_demotes_small_clusters(spark):
 
     with _pytest.raises(ValueError, match="min_cluster_size"):
         PipelineConfig(min_cluster_size=1)
+
+
+def test_temperature_sample_closed_form_rates(spark):
+    """tau=0.5, budget 50% on a 90/10 corpus: the small source's rate
+    caps at 1.0 (keeps ALL rows); the big source's kept set equals a
+    python md5 recomputation of the same cutoff."""
+    import hashlib
+    import math
+
+    from dedupe_spark.operators.sampling import temperature_sample
+    import pytest as _pytest
+
+    rows = [(i, "big") for i in range(90)] + [(i, "small") for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source", tau=0.5, budget_frac=0.5)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+
+    z = math.sqrt(90) + math.sqrt(10)
+    r_big = round(min(1.0, 0.5 * 100 * math.sqrt(90) / (z * 90)), 6)
+    assert round(min(1.0, 0.5 * 100 * math.sqrt(10) / (z * 10)), 6) == 1.0
+    cut = format(math.floor(r_big * 65536), "04x")
+    expect = {(i, "small") for i in range(90, 100)} | {
+        (i, "big")
+        for i in range(90)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < cut
+    }
+    assert got == expect
+
+    with _pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "source", tau=0.0)
+    with _pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "source", budget_frac=1.5)
+
+
+def test_temperature_sample_null_group_is_own_stratum(spark):
+    """NULL group rows must survive with their own computed rate (null-safe
+    join), not vanish through an equi-join."""
+    from dedupe_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a") for i in range(4)] + [(100 + i, None) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # budget_frac=1.0 -> every rate caps at 1.0 -> identity sample
+    out = temperature_sample(df, "doc_id", "source", tau=0.7, budget_frac=1.0)
+    assert out.count() == 8
+    assert out.filter("source is null").count() == 4

@@ -190,6 +190,7 @@ _ONE_ROW_BNLJ_OK = {
     "small_quantity_revenue",
     "ann_recall",
     "lm_score",
+    "temperature_sample",
     # not a 1-row total but still intentional: brute-force exact top-k IS
     # all-pairs by definition — the tiny query side broadcasts against one
     # corpus scan; ann_topk / ivf_topk are the bounded scale path.
