@@ -120,6 +120,62 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    recipe, Karpukhin et al. 2020 §3.2): for each query, the top-k most
+    cosine-similar corpus rows with a DIFFERENT label — the near-misses a
+    contrastive loss learns the most from.
+
+    Same execution shape as ``cosine_topk`` (broadcast the small query
+    side, scan the corpus once, per-query top-k window) with the label
+    disagreement folded INTO the join predicate, so cross-label pairs are
+    dropped before the cosine is ever computed. NULL labels never match
+    anything (SQL null semantics): a null-labeled row mines no negatives
+    and serves as none — unlabeled data is not evidence of dissimilarity.
+
+    Scale path: exact mining runs per training batch (queries ≪ corpus —
+    exactly this broadcast shape); corpus-×-corpus mining at 100 TB goes
+    through the ANN tier first (``ann_lsh_topk`` / ``ivf_topk`` with a
+    widened k), then applies this same label filter + re-rank to the
+    bounded candidate set.
+    """
+    q = _as_double(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        ),
+        "q_vec",
+    )
+    c = _as_double(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            F.col(label_col).alias("n_label"),
+        ),
+        "n_vec",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("n_id"))
+        & (F.col("q_label") != F.col("n_label")),
+    ).withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "n_label", "cos", "rank")
+    )
+
+
 def make_hyperplane_udf(dim: int, n_planes: int, seed: int = 42):
     """Arrow-batched sign-signature UDF: embedding → int bucket key.
 

@@ -1470,6 +1470,32 @@ SELECT q_id, n_id, cos, rank FROM (
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/SimCSE): top-10 most-similar
+    different-label neighbors for query vectors (vec_id < 5)."""
+    from dedupe_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 5), emb, k=10
+    ).orderBy("q_id", "rank")
+
+
+SQL_HARD_NEGATIVES = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT q_id, n_id, n_label, cos, rank FROM (
+  SELECT q_id, n_id, n_label, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (cos ≥ 0.45)."""
     from dedupe_spark.operators.similarity import embedding_dup_pairs
@@ -2504,6 +2530,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+        "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "ivf_full_probe": (q_ivf_full_probe, SQL_KNN_COSINE),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
         "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),

@@ -195,6 +195,9 @@ _ONE_ROW_BNLJ_OK = {
     # all-pairs by definition — the tiny query side broadcasts against one
     # corpus scan; ann_topk / ivf_topk are the bounded scale path.
     "knn_cosine",
+    # same brute-force broadcast shape as knn_cosine, with the label
+    # disagreement folded into the join predicate
+    "hard_negatives",
 }
 
 

@@ -296,3 +296,29 @@ def test_train_centroids_survives_zero_rate_sample(spark):
         df, n_cells=4, train_sample_rows=1, seed=42
     )
     assert assigned.count() == n
+
+
+def test_hard_negatives_excludes_same_label_and_nulls(spark):
+    """Every mined negative has a different, non-null label; ranking is
+    by cosine within the different-label set; null-labeled queries mine
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # same label: must never appear for q=0
+        (2, [0.9, 0.44], 1),    # closest different-label
+        (3, [0.0, 1.0], 1),     # orthogonal different-label
+        (4, [0.95, 0.31], None),  # null label: neither negative nor query
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(
+        df.filter(F.col("vec_id").isin(0, 4)), df, k=2
+    ).collect()
+    got = [(r["q_id"], r["n_id"], r["rank"]) for r in out]
+    assert got == [(0, 2, 1), (0, 3, 2)]  # q=4 (null label) mines nothing
+    assert all(r["n_label"] is not None for r in out)
