@@ -698,6 +698,38 @@ ORDER BY doc_id
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash decontamination through the Bloom pre-filter scale path
+    (operators/bloom.py): every 17th doc plays a 10^9-key reference set;
+    the corpus is probed against the bloom word table (broadcast, no
+    corpus shuffle) and only probe survivors meet the reference in the
+    exact confirm join — result is EXACT equi-join semantics."""
+    from dedupe_spark.operators.bloom import bloom_cross_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    return bloom_cross_filter(
+        docs, ref, id_col="doc_id", key_col="text_sha", ref_id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+SQL_BLOOM_DECONTAMINATE = """
+WITH c AS (
+  SELECT doc_id, sha256(text) AS text_sha FROM documents
+), r AS (
+  SELECT text_sha, min(doc_id) AS ref_id
+  FROM c WHERE doc_id % 17 = 0 GROUP BY text_sha
+)
+SELECT c.doc_id,
+       r.text_sha IS NOT NULL AS matched,
+       r.ref_id
+FROM c LEFT JOIN r USING (text_sha)
+ORDER BY doc_id
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language quality-quantile gate: keep the top 40%
     of each language by quality score. Exact type-1 quantile over a
@@ -2510,6 +2542,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "lm_score": (q_lm_score, SQL_LM_SCORE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
         "cross_dedupe": (q_cross_dedupe, SQL_CROSS_DEDUPE),
         "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
