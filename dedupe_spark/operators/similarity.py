@@ -176,6 +176,83 @@ def hard_negatives(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector INT8 quantization: ``(id, scale, qvec)``.
+
+    ``scale = max(|x_i|) / 127``; ``q_i = clamp(floor(x_i/scale + 0.5),
+    -127, 127)`` as ``tinyint``. Half-up is spelled ``floor(+0.5)`` so
+    every engine (Spark, DuckDB, numpy) computes the identical lattice —
+    bankers-vs-half-up ``round()`` divergence is exactly the kind of
+    cross-engine drift the oracle would flag. Zero vectors quantize to
+    all-zero with ``scale = 0``.
+
+    Why this exists at 100 TB: an ``array<float>`` embedding column is the
+    widest thing in a training corpus (256 B/row at dim 64, dwarfing the
+    metadata); int8 cuts the ANN tier's scan, shuffle, and cache volume
+    4× (vs float32) with ~1% recall loss at this dim (Guo et al.,
+    ScaNN ICML'20 report the same regime). And because cosine is
+    scale-invariant — ``cos(q_a, q_b)`` needs NO dequantization —
+    downstream rerank never touches ``scale``; it is carried only for
+    L2/dot consumers. All codegen (``transform``/``array_max``), no
+    Python.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    quant = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127), F.greatest(F.lit(-127), F.floor(x / scale + F.lit(0.5)))
+        ).cast("tinyint"),
+    )
+    zeros = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    return df.select(
+        F.col(id_col),
+        F.when(max_abs == 0, F.lit(0.0)).otherwise(scale).alias("scale"),
+        F.when(max_abs == 0, zeros).otherwise(quant).alias("qvec"),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k cosine over INT8-quantized vectors — the
+    4×-cheaper scan :func:`cosine_topk` becomes once the corpus is stored
+    quantized. Same execution shape (broadcast query side, one corpus
+    scan, per-query top-k window); the cosine runs directly on the int
+    lattices (scale cancels), so this measures exactly what a quantized
+    ANN tier would serve. Zero vectors (scale 0) produce null cosines and
+    are dropped, matching ``cosine_topk``'s NaN-drop semantics.
+    """
+    q = quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("qvec").cast("array<double>").alias("q_vec")
+    )
+    c = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("qvec").cast("array<double>").alias("n_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def make_hyperplane_udf(dim: int, n_planes: int, seed: int = 42):
     """Arrow-batched sign-signature UDF: embedding → int bucket key.
 

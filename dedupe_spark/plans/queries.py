@@ -1528,6 +1528,73 @@ SELECT q_id, n_id, n_label, cos, rank FROM (
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 per-vector quantization, exploded to one row per lattice
+    position so the oracle checks every quantized value exactly."""
+    from dedupe_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = quantize_embeddings(emb)
+    return qdf.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.posexplode("qvec").alias("pos", "q"),
+    ).select(
+        "vec_id", "pos", F.col("q").cast("int").alias("q"), "scale6"
+    ).orderBy("vec_id", "pos")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       generate_subscripts(embedding, 1) - 1 AS pos,
+       unnest(CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x ->
+                CAST(least(127, greatest(-127, floor(x::DOUBLE / s + 0.5))) AS INT))
+              END) AS q,
+       round(s, 6) AS scale6
+FROM q ORDER BY vec_id, pos
+"""
+
+
+def q_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 over the INT8-quantized lattice (vec_id
+    < 5 queries) — the 4×-cheaper scan a quantized ANN tier serves."""
+    from dedupe_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10
+    ).orderBy("q_id", "rank")
+
+
+SQL_QUANTIZED_KNN = """
+WITH qt AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x ->
+           least(127, greatest(-127, floor(x::DOUBLE / s + 0.5))))
+         END AS qvec
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0 AS s
+        FROM embeddings)
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_cosine_similarity(q.qvec, c.qvec), 6) AS cos
+  FROM qt q JOIN qt c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored WHERE NOT isnan(cos)
+)
+SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (cos ≥ 0.45)."""
     from dedupe_spark.operators.similarity import embedding_dup_pairs
@@ -2564,6 +2631,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
         "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+        "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+        "quantized_knn": (q_quantized_knn, SQL_QUANTIZED_KNN),
         "ivf_full_probe": (q_ivf_full_probe, SQL_KNN_COSINE),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
         "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),

@@ -198,6 +198,9 @@ _ONE_ROW_BNLJ_OK = {
     # same brute-force broadcast shape as knn_cosine, with the label
     # disagreement folded into the join predicate
     "hard_negatives",
+    # knn_cosine's shape over the INT8 lattice — deliberately brute-force;
+    # the quantized ANN tier is the bounded scale path
+    "quantized_knn",
 }
 
 

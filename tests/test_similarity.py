@@ -322,3 +322,50 @@ def test_hard_negatives_excludes_same_label_and_nulls(spark):
     got = [(r["q_id"], r["n_id"], r["rank"]) for r in out]
     assert got == [(0, 2, 1), (0, 3, 2)]  # q=4 (null label) mines nothing
     assert all(r["n_label"] is not None for r in out)
+
+
+def test_quantize_roundtrip_error_bounded(vectors):
+    """Dequantized values are within scale/2 of the originals (the int8
+    lattice guarantee), q fits [-127, 127], zero vectors -> scale 0."""
+    from dedupe_spark.operators.similarity import quantize_embeddings
+
+    orig = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    for r in quantize_embeddings(vectors).collect():
+        s, q = r["scale"], r["qvec"]
+        assert all(-127 <= x <= 127 for x in q)
+        assert s > 0  # fixture has no zero vectors
+        for x, qi in zip(orig[r["vec_id"]], q):
+            assert abs(x - qi * s) <= s / 2 + 1e-12
+
+
+def test_quantize_zero_vector(spark):
+    from dedupe_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[0]["scale"] == 0.0 and out[0]["qvec"] == [0, 0, 0]
+    # max-abs element lands exactly on ±127 (clamp catches floor(127.5))
+    assert out[1]["qvec"][1] == -127
+    assert out[1]["qvec"][0] == 64  # 1.0 / (2/127) = 63.5 -> half-up 64
+
+
+def test_quantized_topk_recall_vs_exact(vectors):
+    """INT8 top-10 recalls >=90% of the exact float top-10 per query on
+    the clustered fixture (the ScaNN-regime claim the docstring makes)."""
+    from dedupe_spark.operators.similarity import cosine_topk, quantized_topk
+
+    queries = vectors.filter("vec_id IN (0, 10, 20, 30, 40)")
+    exact = cosine_topk(queries, vectors, k=10).collect()
+    quant = quantized_topk(queries, vectors, k=10).collect()
+    by_q_exact, by_q_quant = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert set(by_q_quant) == set(by_q_exact)
+    for qid, ex in by_q_exact.items():
+        recall = len(ex & by_q_quant[qid]) / len(ex)
+        assert recall >= 0.9, f"query {qid} recall {recall}"
