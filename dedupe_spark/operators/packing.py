@@ -170,3 +170,60 @@ if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)
         out.write.mode("overwrite").parquet(a.out)
     else:
         out.orderBy(a.id_col).show(20, truncate=False)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into ``size``-token chunks with ``overlap``
+    shared tokens between consecutive chunks (the HF tokenizer
+    ``return_overflowing_tokens`` / ``stride`` shape, whitespace tokens).
+
+    Returns one row per chunk::
+
+        (id_col, chunk_id, start_tok, n_tokens, chunk_text)
+
+    ``chunk_id`` is 0-based within the doc; chunk c starts at token
+    ``c * (size - overlap)``. A chunk is emitted only if it contributes
+    at least one NEW token (``start + overlap < n_tokens``), so the tail
+    never yields a chunk fully contained in its predecessor. Documents
+    whose trimmed text is empty produce no chunks.
+
+    Pure array expressions end-to-end (``split`` → ``sequence`` →
+    ``filter`` → ``posexplode`` → ``slice``), all codegen: the explode is
+    the only row multiplier (factor ≈ n_tokens/step) and there is NO
+    shuffle — chunking is a map-side op whatever the corpus size.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got overlap={overlap}")
+    step = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n),
+    )
+    chunked = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode("_starts").alias("chunk_id", "start_tok"),
+        )
+    )
+    chunk_toks = F.slice(F.col("_toks"), F.col("start_tok") + 1, size)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        "start_tok",
+        F.size(chunk_toks).alias("n_tokens"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+    )

@@ -184,3 +184,32 @@ if __name__ == "__main__":  # library smoke (SURVEY §3.3 per-module CLI)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(path)
     with_split(docs, "doc_id").groupBy("split").count().orderBy("split").show()
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Train/val/test split keyed on the duplicate-GROUP representative,
+    not the row — the anti-leakage split of LLM data pipelines.
+
+    ``with_split`` on raw ids puts two copies of the same document on
+    both sides of the train/test fence (Lee et al. ACL'22 §6 measure the
+    resulting eval inflation); here every row sharing ``group_col``
+    (a content sha for exact dups, or a near-dup ``cluster_id`` from
+    ``dedup_pipeline`` / ``minhash_lsh_dedupe``) inherits the split of
+    the group's MIN id, so a whole duplicate cluster moves as one unit.
+
+    Cost: one group-keyed aggregation (map-side partial: the rep is a
+    min) + one shuffle join of the corpus against the (group, rep) pairs
+    — both keyed on ``group_col``, so AQE coalesces them into the same
+    exchange at scale. The split itself stays a pure projection on the
+    rep id (md5-prefix ranges, engine-independent).
+    """
+    reps = df.groupBy(group_col).agg(F.min(id_col).alias("_rep_id"))
+    out = with_split(df.join(reps, group_col), "_rep_id", train=train, val=val)
+    return out.drop("_rep_id")

@@ -1334,6 +1334,70 @@ SELECT lang, split, count(*) AS n FROM (
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-leakage split: every exact-duplicate cluster (same text sha)
+    inherits the split of its min doc_id, so no duplicate pair straddles
+    the train/test fence (Lee et al. ACL'22 §6)."""
+    from dedupe_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("k")
+    )
+    return (
+        leakage_safe_split(docs, "doc_id", "k", train=0.8, val=0.1)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = """
+WITH g AS (
+  SELECT doc_id, sha256(text) AS k FROM documents
+), r AS (
+  SELECT k, min(doc_id) AS rep FROM g GROUP BY k
+)
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM g JOIN r USING (k)
+ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-overlap chunking (HF return_overflowing_tokens shape):
+    50-token chunks, 10 shared tokens between consecutive chunks."""
+    from dedupe_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=50, overlap=10).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, len(toks), 40),
+                     s -> s = 0 OR s + 10 < len(toks)) AS starts
+  FROM t
+), e AS (
+  SELECT doc_id, toks,
+         generate_subscripts(starts, 1) - 1 AS chunk_id,
+         unnest(starts) AS start_tok
+  FROM s
+)
+SELECT doc_id, chunk_id, start_tok,
+       len(toks[start_tok + 1 : start_tok + 50]) AS n_tokens,
+       array_to_string(toks[start_tok + 1 : start_tok + 50], ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-stable 10% Bernoulli sample (md5-prefix cutoff) — the
     reproducible alternative to df.sample() for training-data pipelines."""
@@ -2624,6 +2688,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+        "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+        "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
         "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),

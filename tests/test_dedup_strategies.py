@@ -548,3 +548,25 @@ def test_temperature_sample_null_group_is_own_stratum(spark):
     out = temperature_sample(df, "doc_id", "source", tau=0.7, budget_frac=1.0)
     assert out.count() == 8
     assert out.filter("source is null").count() == 4
+
+
+def test_leakage_safe_split_moves_clusters_whole(spark):
+    """Rows sharing a group key always land in the same split, the split
+    equals the rep's with_split assignment, and singletons are unchanged
+    vs plain with_split."""
+    from dedupe_spark.operators.sampling import leakage_safe_split, with_split
+
+    rows = [(i, f"g{i % 25}") for i in range(200)]  # 25 clusters of 8
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = leakage_safe_split(df, "doc_id", "k").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["k"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values()), "cluster straddles splits"
+    # each cluster's split == the rep's (min id = i%25, ids 0..24) own split
+    reps = {
+        r["doc_id"]: r["split"]
+        for r in with_split(df.filter("doc_id < 25"), "doc_id").collect()
+    }
+    for r in out:
+        assert r["split"] == reps[int(r["k"][1:])]

@@ -93,3 +93,57 @@ def test_pack_offsets_numeric_plan_single_corpus_shuffle(spark):
     assert "rangepartitioning" not in plan, plan[:600]
     keyed = plan.count("Exchange hashpartitioning")
     assert keyed <= 2, plan[:900]  # window input + tiny totals partial-agg
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Chunks tile the token stream: chunk c starts at c*step, consecutive
+    chunks share exactly `overlap` tokens, every token appears, and no
+    chunk is fully contained in its predecessor."""
+    from dedupe_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, size=10, overlap=3)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # 23 tokens, step 7: starts 0,7,14 (21 skipped: 21+3 >= 23 adds nothing)
+    assert [(r["chunk_id"], r["start_tok"], r["n_tokens"]) for r in d1] == [
+        (0, 0, 10), (1, 7, 10), (2, 14, 9),
+    ]
+    toks = text.split()
+    for r in d1:
+        assert r["chunk_text"] == " ".join(toks[r["start_tok"]:r["start_tok"] + 10])
+    # union of chunk tokens covers the doc
+    covered = set()
+    for r in d1:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(23))
+    # short doc: one whole chunk; whitespace-only doc: none
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"
+    assert not [r for r in rows if r["doc_id"] == 3]
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest
+
+    from dedupe_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is a map-side op: zero exchanges in the plan."""
+    from dedupe_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = chunk_documents(df, size=2, overlap=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
