@@ -1599,10 +1599,14 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qdf = quantize_embeddings(emb)
+    # posexplode_outer: plain posexplode injects a `size > 0 AND isnotnull`
+    # filter that re-evaluates the entire quantization CASE per row
+    # (measured 1.8× slower at sf0.1); qvec is never null/empty, so the
+    # outer variant is identical in result and skips the filter
     return qdf.select(
         "vec_id",
         F.round("scale", 6).alias("scale6"),
-        F.posexplode("qvec").alias("pos", "q"),
+        F.posexplode_outer("qvec").alias("pos", "q"),
     ).select(
         "vec_id", "pos", F.col("q").cast("int").alias("q"), "scale6"
     ).orderBy("vec_id", "pos")
