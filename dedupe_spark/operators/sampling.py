@@ -207,9 +207,17 @@ def leakage_safe_split(
     Cost: one group-keyed aggregation (map-side partial: the rep is a
     min) + one shuffle join of the corpus against the (group, rep) pairs
     — both keyed on ``group_col``, so AQE coalesces them into the same
-    exchange at scale. The split itself stays a pure projection on the
-    rep id (md5-prefix ranges, engine-independent).
+    exchange at scale (a window-min would handle the same grouping in one
+    exchange but puts a whole hot cluster in one task — the same skew
+    trap ``paradedup`` documents). The split itself stays a pure
+    projection on the rep id (md5-prefix ranges, engine-independent).
+
+    A NULL ``group_col`` means "no duplicate-cluster information", not "one
+    big cluster of unknowns": null-keyed rows fall out of the equi-join
+    (SQL null ≠ null) and are split as singletons on their own id.
     """
     reps = df.groupBy(group_col).agg(F.min(id_col).alias("_rep_id"))
-    out = with_split(df.join(reps, group_col), "_rep_id", train=train, val=val)
-    return out.drop("_rep_id")
+    joined = df.join(reps, group_col, "left").withColumn(
+        "_rep_id", F.coalesce("_rep_id", F.col(id_col))
+    )
+    return with_split(joined, "_rep_id", train=train, val=val).drop("_rep_id")

@@ -570,3 +570,21 @@ def test_leakage_safe_split_moves_clusters_whole(spark):
     }
     for r in out:
         assert r["split"] == reps[int(r["k"][1:])]
+
+
+def test_leakage_safe_split_null_group_is_singleton(spark):
+    """NULL group keys don't vanish (the SQL null<>null join trap) and
+    split as singletons on their own id, matching plain with_split."""
+    from dedupe_spark.operators.sampling import leakage_safe_split, with_split
+
+    df = spark.createDataFrame(
+        [(1, "g"), (2, "g"), (3, None), (4, None)], "doc_id long, k string"
+    )
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(df, "doc_id", "k").collect()}
+    assert len(out) == 4
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in with_split(df.filter("k IS NULL"), "doc_id").collect()
+    }
+    assert out[3] == solo[3] and out[4] == solo[4]
+    assert out[1] == out[2]  # the real cluster still moves whole
