@@ -116,6 +116,7 @@ def bloom_might_contain(
     m: int,
     k: int,
     id_col: str,
+    restore_missing: bool = True,
 ) -> DataFrame:
     """Probe: one row per corpus row, ``(id_col, might_match: boolean)``.
 
@@ -125,6 +126,12 @@ def bloom_might_contain(
     positions, broadcast-joins the word table ONCE, and reduces per id —
     the only corpus-keyed exchange carries ``(id, hit)`` pairs, never the
     corpus payload.
+
+    ``restore_missing=False`` skips the final corpus-wide left join whose
+    only job is re-adding null-key rows as ``false`` — callers that
+    immediately filter to ``might_match=true`` (the pre-filter shape,
+    :func:`bloom_cross_filter`) never need those rows, so the extra
+    exchange would be pure waste.
     """
     key = F.col(key_col)
     # xxhash64 does NOT propagate null (a null input hashes to the seed),
@@ -143,6 +150,8 @@ def bloom_might_contain(
     per_id = tested.groupBy(id_col).agg(
         F.min("hit").alias("might_match")  # all k bits set ⇔ min(hit) true
     )
+    if not restore_missing:
+        return per_id
     # rows whose key was null produced zero probe rows — restore as false
     return (
         corpus.select(id_col)
@@ -184,8 +193,9 @@ def bloom_cross_filter(
     the word-table build keyed on word_idx (bounded by m/64 rows out), (2)
     the probe reduction keyed on id carrying one boolean, (3) the confirm
     join keyed on ``key_col`` over survivors only (~``fpp`` of the corpus
-    plus true members). At 1% fpp that is a 100× reduction of the join
-    input vs the naive shuffle join.
+    plus true members), and (4) the output assembly joining the tiny
+    confirmed set back to the corpus ids (broadcast under AQE). At 1% fpp
+    that is a 100× reduction of the join input vs the naive shuffle join.
     """
     ref_id_type = (
         reference.schema[ref_id_col].dataType.simpleString()
@@ -204,7 +214,12 @@ def bloom_cross_filter(
     words, m, k = bloom_build(
         reference, key_col, expected_items=expected_items, fpp=fpp
     )
-    might = bloom_might_contain(corpus, words, key_col, m=m, k=k, id_col=id_col)
+    # restore_missing=False: null-key rows are re-added as unmatched by the
+    # final left join below anyway — restoring them here just to filter
+    # them out again would cost an extra corpus-wide exchange
+    might = bloom_might_contain(
+        corpus, words, key_col, m=m, k=k, id_col=id_col, restore_missing=False
+    )
     survivors = (
         corpus.select(id_col, key_col)
         .join(might.filter("might_match").select(id_col), id_col)

@@ -204,14 +204,19 @@ def chunk_documents(
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got overlap={overlap}")
     step = size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # regexp trim, NOT F.trim: trim() strips only spaces, so a doc framed
+    # (or filled) with tabs/newlines would grow phantom empty tokens at
+    # the edges — wrong n_tokens, and "\t\t" would emit a chunk of two
+    # empty strings despite the no-empty-docs contract
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.split(stripped, r"\s+")
     n = F.size(toks)
     starts = F.filter(
         F.sequence(F.lit(0), n - 1, F.lit(step)),
         lambda s: (s == 0) | (s + F.lit(overlap) < n),
     )
     chunked = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        df.filter(F.length(stripped) > 0)
         .select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
         .select(
             id_col,

@@ -75,12 +75,38 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<double> columns (JVM-side)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<double> columns (JVM-side).
+
+    NULL when either vector has zero norm: a zero vector has no direction,
+    and under Spark 4's ANSI default the unguarded division would abort
+    the WHOLE job with DIVIDE_BY_ZERO the moment one padding/failed-encode
+    row appears (CASE WHEN is lazy, so the guard really prevents the
+    division). NaN components propagate to a NaN cosine; ranking consumers
+    drop both via :func:`_rank_topk`.
+    """
+    den = _norm(a) * _norm(b)
+    return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        _dot(a, b) / den
+    )
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def _rank_topk(scored: DataFrame, k: int, *, extra: tuple = ()) -> DataFrame:
+    """Shared tail of every top-k operator: drop unrankable cosines (NULL
+    from zero-norm vectors, NaN from NaN components — NaN would otherwise
+    sort ABOVE every real match in the descending window), then rank per
+    query with the deterministic (cos desc, n_id asc) order and cut at k.
+    """
+    ranked = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", *extra, "cos", "rank")
+    )
 
 
 def cosine_topk(
@@ -112,12 +138,7 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def hard_negatives(
@@ -168,12 +189,7 @@ def hard_negatives(
         (F.col("q_id") != F.col("n_id"))
         & (F.col("q_label") != F.col("n_label")),
     ).withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "n_label", "cos", "rank")
-    )
+    return _rank_topk(scored, k, extra=("n_label",))
 
 
 def quantize_embeddings(
@@ -243,14 +259,8 @@ def quantized_topk(
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
-        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def make_hyperplane_udf(dim: int, n_planes: int, seed: int = 42):
@@ -314,12 +324,7 @@ def ann_lsh_topk(
         .dropDuplicates(["q_id", "n_id"])
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos", "rank")
-    )
+    return _rank_topk(cand, k)
 
 
 @pandas_udf(T.DoubleType())

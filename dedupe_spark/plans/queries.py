@@ -1355,12 +1355,17 @@ WITH g AS (
   SELECT doc_id, sha256(text) AS k FROM documents
 ), r AS (
   SELECT k, min(doc_id) AS rep FROM g GROUP BY k
+), j AS (
+  -- LEFT join + coalesce: a NULL key never equi-joins, and the engine
+  -- deliberately splits null-keyed rows as singletons on their own id
+  SELECT g.doc_id, coalesce(r.rep, g.doc_id) AS rep
+  FROM g LEFT JOIN r USING (k)
 )
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
             WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
             ELSE 'test' END AS split
-FROM g JOIN r USING (k)
+FROM j
 ORDER BY doc_id
 """
 
@@ -1378,8 +1383,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHUNK_DOCUMENTS = """
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents WHERE length(trim(text)) > 0
+  -- regexp trim to match the engine: plain trim() strips only spaces
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+  FROM documents WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
 ), s AS (
   SELECT doc_id, toks,
          list_filter(range(0, len(toks), 40),

@@ -369,3 +369,34 @@ def test_quantized_topk_recall_vs_exact(vectors):
     for qid, ex in by_q_exact.items():
         recall = len(ex & by_q_quant[qid]) / len(ex)
         assert recall >= 0.9, f"query {qid} recall {recall}"
+
+
+def test_topk_ops_survive_zero_and_nan_vectors(spark):
+    """Zero-norm vectors (padding / failed encodes) must not abort the
+    job under ANSI mode, and NaN-component vectors must not outrank real
+    matches — across all three brute-force top-k ops."""
+    from dedupe_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+        quantized_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.44], 1),
+        (2, [0.0, 1.0], 1),
+        (3, [0.0, 0.0], 1),            # zero norm: DIVIDE_BY_ZERO trap
+        (4, [float("nan"), 1.0], 1),   # NaN: sorts above every real cos
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = df.filter("vec_id = 0")
+    for op in (cosine_topk, quantized_topk):
+        got = [(r["n_id"], r["rank"]) for r in op(q, df, k=4).collect()]
+        assert got == [(1, 1), (2, 2)], f"{op.__name__}: {got}"
+    got = [(r["n_id"], r["rank"]) for r in hard_negatives(q, df, k=4).collect()]
+    assert got == [(1, 1), (2, 2)]
+    # zero-norm / NaN QUERY vectors mine nothing rather than crashing
+    bad_q = df.filter("vec_id IN (3, 4)")
+    assert cosine_topk(bad_q, df, k=4).count() == 0
