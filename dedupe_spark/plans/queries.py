@@ -2892,6 +2892,195 @@ ORDER BY repo_a, repo_b
 """
 
 
+def q_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1/type-2 code-clone keys + group sizes over planted source
+    files (operators/clones.py). Planting: doc_id % 7 == 0 becomes a
+    function variant whose comment differs per doc, identifiers vary with
+    doc_id % 5 and the literal with doc_id % 3 — so type-1 groups by the
+    (mod 5, mod 3) residue pair while type-2 (identifier+literal folding)
+    merges all variants into one group; everything else is text-derived
+    prose. Value-checks the whole normalization chain (string folding,
+    comment stripping, layout collapse, type-2 folds), the sha keys and
+    both window counts against the RE2/DuckDB twin."""
+    from dedupe_spark.operators.clones import clone_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m5 = (did % 5).cast("string")
+    variant = F.concat(
+        F.lit("// v"), did.cast("string"), F.lit("\n"),
+        F.lit("def f_"), m5, F.lit("(a_"), m5, F.lit("):\n    return a_"),
+        m5, F.lit(" + "), (did % 3).cast("string"), F.lit("\n"),
+    )
+    content = F.when(did % 7 == 0, variant).otherwise(
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    )
+    files = docs.select("doc_id", content.alias("content"))
+    keyed = clone_keys(files)
+    w1 = Window.partitionBy("t1_sha")
+    w2 = Window.partitionBy("t2_sha")
+    return (
+        keyed.select(
+            "doc_id",
+            "t1_sha",
+            "t2_sha",
+            F.count(F.lit(1)).over(w1).alias("t1_size"),
+            F.count(F.lit(1)).over(w2).alias("t2_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from dedupe_spark.operators.clones import normalize_code_sql as _norm_sql
+
+SQL_CLONE_GROUPS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN '// v' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'def f_' || CAST(doc_id % 5 AS VARCHAR)
+                   || '(a_' || CAST(doc_id % 5 AS VARCHAR)
+                   || '):' || chr(10) || '    return a_'
+                   || CAST(doc_id % 5 AS VARCHAR)
+                   || ' + ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
+              ELSE replace(text, ' value ', chr(10))
+         END AS content
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         sha256({_norm_sql('content', 'type1')}) AS t1_sha,
+         sha256({_norm_sql('content', 'type2')}) AS t2_sha
+  FROM planted
+)
+SELECT doc_id, t1_sha, t2_sha,
+       count(*) OVER (PARTITION BY t1_sha) AS t1_size,
+       count(*) OVER (PARTITION BY t2_sha) AS t2_size
+FROM keyed
+ORDER BY doc_id
+"""
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License classification (operators/licenses.py) over planted
+    headers: doc_id % 4 rotates MIT / Apache-2.0 / GPL / no header in
+    front of the document text. Value-checks every cascade pattern, the
+    first-match order and the permissive mapping (unknown = NOT
+    permissive) against the RE2 twin built from the same constants."""
+    from dedupe_spark.operators.licenses import detect_license
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    header = (
+        F.when(did % 4 == 0, F.lit(
+            "Permission is hereby granted, free of charge, to any person\n"
+        ))
+        .when(did % 4 == 1, F.lit(
+            "Licensed under the Apache License, Version 2.0 (the License)\n"
+        ))
+        .when(did % 4 == 2, F.lit(
+            "under the terms of the GNU General Public License\n"
+        ))
+        .otherwise(F.lit(""))
+    )
+    files = docs.select(
+        "doc_id", F.concat(header, F.col("text")).alias("content")
+    )
+    return (
+        detect_license(files)
+        .select("doc_id", "license", "permissive")
+        .orderBy("doc_id")
+    )
+
+
+from dedupe_spark.operators.licenses import (
+    PERMISSIVE_IDS as _PERM_IDS,
+    license_sql_case as _lic_case,
+)
+
+_PERM_SQL = ", ".join(f"'{n}'" for n in _PERM_IDS)
+
+SQL_LICENSE_DETECT = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'Permission is hereby granted, free of charge, '
+                       || 'to any person' || chr(10)
+           WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 '
+                       || '(the License)' || chr(10)
+           WHEN 2 THEN 'under the terms of the GNU General Public License'
+                       || chr(10)
+           ELSE ''
+         END || text AS content
+  FROM documents
+)
+SELECT doc_id,
+       {_lic_case('content')} AS license,
+       {_lic_case('content')} IN ({_PERM_SQL}) AS permissive
+FROM planted
+ORDER BY doc_id
+"""
+
+
+def q_dependency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-module import census (operators/imports.py) over planted
+    polyglot sources: every doc imports a Python module (doc_id % 6), a
+    from-import package (% 4), a C header (% 3) and a JS require (% 5).
+    Value-checks all four extraction regexes, the array concat + explode
+    and both aggregate measures (import sites, distinct repos) against
+    the RE2 twin."""
+    from dedupe_spark.operators.imports import dependency_census
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.concat(
+        F.lit("import mod"), (did % 6).cast("string"), F.lit("\n"),
+        F.lit("from pkg"), (did % 4).cast("string"),
+        F.lit(" import thing\n"),
+        F.lit("#include <lib"), (did % 3).cast("string"), F.lit(".h>\n"),
+        F.lit("require('js"), (did % 5).cast("string"), F.lit("')\n"),
+        F.col("text"),
+    )
+    files = docs.select(
+        F.col("source").alias("repo"), content.alias("content")
+    )
+    return (
+        dependency_census(files)
+        .select("module", "n_imports", "n_repos")
+        .orderBy("module")
+    )
+
+
+from dedupe_spark.operators.imports import IMPORT_PATTERNS as _IMP_PATS
+
+_IMP_EXTRACT_SQL = " || ".join(
+    "regexp_extract_all(content, '%s', %d)" % (pat.replace("'", "''"), grp)
+    for pat, grp in _IMP_PATS
+)
+
+SQL_DEPENDENCY_CENSUS = f"""
+WITH planted AS (
+  SELECT source AS repo,
+         'import mod' || CAST(doc_id % 6 AS VARCHAR) || chr(10)
+         || 'from pkg' || CAST(doc_id % 4 AS VARCHAR)
+         || ' import thing' || chr(10)
+         || '#include <lib' || CAST(doc_id % 3 AS VARCHAR) || '.h>'
+         || chr(10)
+         || 'require(''js' || CAST(doc_id % 5 AS VARCHAR) || ''')'
+         || chr(10) || text AS content
+  FROM documents
+), mods AS (
+  SELECT repo, unnest({_IMP_EXTRACT_SQL}) AS module
+  FROM planted
+)
+SELECT module,
+       count(*) AS n_imports,
+       count(DISTINCT repo) AS n_repos
+FROM mods
+GROUP BY module
+ORDER BY module
+"""
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -2926,6 +3115,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),
         "repo_forks": (q_repo_forks, SQL_REPO_FORKS),
+        "clone_groups": (q_clone_groups, SQL_CLONE_GROUPS),
+        "license_detect": (q_license_detect, SQL_LICENSE_DETECT),
+        "dependency_census": (q_dependency_census, SQL_DEPENDENCY_CENSUS),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),

@@ -1,0 +1,205 @@
+"""Unit tests for the clone / license / import code-payload operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.clones import (
+    clone_groups,
+    clone_keys,
+    normalize_code_col,
+    normalization_steps,
+)
+from dedupe_spark.operators.imports import (
+    dependency_census,
+    extract_imports,
+)
+from dedupe_spark.operators.licenses import (
+    detect_license,
+    filter_permissive,
+)
+
+import pytest
+
+
+def _norm(spark, text: str, level: str) -> str:
+    df = spark.createDataFrame([(text,)], "content string")
+    return df.select(
+        normalize_code_col(F.col("content"), level).alias("n")
+    ).first()["n"]
+
+
+# ---------------------------------------------------------------------------
+# clones
+# ---------------------------------------------------------------------------
+
+
+def test_type1_ignores_comments_and_layout(spark):
+    a = "def f(x):\n    return x + 1\n"
+    b = "// reviewed 2024\ndef f(x):\n\n\n  return   x + 1"
+    c = "# different comment\ndef f(x):\n\treturn x + 1"
+    assert _norm(spark, a, "type1") == _norm(spark, b, "type1")
+    assert _norm(spark, a, "type1") == _norm(spark, c, "type1")
+
+
+def test_type1_keeps_identifiers_distinct(spark):
+    a = "def f(x):\n    return x + 1\n"
+    b = "def g(y):\n    return y + 1\n"
+    assert _norm(spark, a, "type1") != _norm(spark, b, "type1")
+    # ... but type-2 folds them together
+    assert _norm(spark, a, "type2") == _norm(spark, b, "type2")
+
+
+def test_type2_folds_literals(spark):
+    a = "total = price * 3"
+    b = "sum_v = cost * 42.5"
+    assert _norm(spark, a, "type2") == _norm(spark, b, "type2")
+
+
+def test_strings_protect_comment_markers(spark):
+    # The '#' lives inside a string literal — folding strings first means
+    # the "comment" must NOT be stripped (the + 1 tail survives).
+    a = 'x = "color: #fff" + 1'
+    n = _norm(spark, a, "type1")
+    assert "+ 1" in n
+    assert "#fff" not in n  # the literal itself was folded to "S"
+
+
+def test_block_comment_nongreedy(spark):
+    # Non-greedy body: the second /* ... */ must survive stripping of the
+    # first — i.e. code between two block comments is preserved.
+    a = "/* one */ keep_me /* two */"
+    assert _norm(spark, a, "type1") == "keep_me"
+
+
+def test_normalization_idempotent(spark):
+    texts = [
+        "// c\ndef f_1(a_1):\n    return a_1 + 2\n",
+        '/* b */ x = "s" + 3.14 # t',
+        "",
+    ]
+    for t in texts:
+        for level in ("type1", "type2"):
+            once = _norm(spark, t, level)
+            assert _norm(spark, once, level) == once
+
+
+def test_clone_keys_adds_both_digests(spark):
+    df = spark.createDataFrame([("def f(): pass",)], "content string")
+    out = clone_keys(df)
+    row = out.first()
+    assert len(row["t1_sha"]) == 64 and len(row["t2_sha"]) == 64
+
+
+def test_clone_groups_min_size(spark):
+    rows = [
+        ("a", "def f(x):\n    return x + 1"),
+        ("b", "# v2\ndef f(x):\n  return x + 1"),   # type-1 clone of a
+        ("c", "def g(y):\n    return y + 1"),        # type-2 only
+        ("d", "completely different content"),
+    ]
+    df = spark.createDataFrame(rows, "path string, content string")
+    t1 = clone_groups(df, level="type1")
+    assert sorted(r["path"] for r in t1.collect()) == ["a", "b"]
+    assert t1.first()["group_size"] == 2
+    t2 = clone_groups(df, level="type2")
+    assert sorted(r["path"] for r in t2.collect()) == ["a", "b", "c"]
+
+
+def test_normalization_steps_rejects_bad_level():
+    with pytest.raises(ValueError):
+        normalization_steps("type3")
+
+
+# ---------------------------------------------------------------------------
+# licenses
+# ---------------------------------------------------------------------------
+
+
+def test_license_cascade(spark):
+    rows = [
+        ("mit", "Permission is hereby granted, free of charge, to anyone"),
+        ("apache", "Licensed under the Apache License, Version 2.0"),
+        ("gpl", "the GNU General Public License as published"),
+        ("lgpl", "the GNU Lesser General Public License v2.1"),
+        ("bsd", "Redistribution and use in source and binary forms"),
+        ("unlic", "This is free and unencumbered software released"),
+        ("none", "just some code"),
+    ]
+    df = spark.createDataFrame(rows, "k string, content string")
+    got = {r["k"]: (r["license"], r["permissive"])
+           for r in detect_license(df).collect()}
+    assert got["mit"] == ("MIT", True)
+    assert got["apache"] == ("Apache-2.0", True)
+    assert got["gpl"] == ("GPL-family", False)
+    assert got["lgpl"] == ("GPL-family", False)
+    assert got["bsd"] == ("BSD", True)
+    assert got["unlic"] == ("Unlicense", True)
+    assert got["none"] == ("unknown", False)
+
+
+def test_license_first_match_wins(spark):
+    # Dual-licensed header mentioning MIT then GPL: cascade order says MIT.
+    df = spark.createDataFrame(
+        [("Permission is hereby granted, free of charge ... or, at your "
+          "option, the GNU General Public License",)],
+        "content string",
+    )
+    assert detect_license(df).first()["license"] == "MIT"
+
+
+def test_filter_permissive_drops_unknown_and_gpl(spark):
+    rows = [
+        ("keep", "Permission is hereby granted, free of charge"),
+        ("gpl", "GNU General Public License"),
+        ("unk", "no license"),
+    ]
+    df = spark.createDataFrame(rows, "k string, content string")
+    assert [r["k"] for r in filter_permissive(df).collect()] == ["keep"]
+
+
+# ---------------------------------------------------------------------------
+# imports
+# ---------------------------------------------------------------------------
+
+
+def test_extract_imports_all_conventions(spark):
+    content = (
+        "import os\n"
+        "  import numpy.linalg\n"
+        "from collections import deque\n"
+        '#include <stdio.h>\n'
+        '#include "local/hdr.h"\n'
+        "const x = require('lodash');\n"
+        'const y = require("@scope/pkg");\n'
+    )
+    df = spark.createDataFrame(
+        [("r1", "f1", content)], "repo string, path string, content string"
+    )
+    mods = sorted(r["module"] for r in extract_imports(df).collect())
+    assert mods == sorted(
+        ["os", "numpy.linalg", "collections", "stdio.h", "local/hdr.h",
+         "lodash", "@scope/pkg"]
+    )
+
+
+def test_extract_imports_ignores_midline_and_importless(spark):
+    rows = [
+        ("r1", "a", "x = 1  # we import nothing here\nimporting = 2"),
+        ("r1", "b", "import real_module"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = extract_imports(df).collect()
+    assert [(r["path"], r["module"]) for r in got] == [("b", "real_module")]
+
+
+def test_dependency_census_counts(spark):
+    rows = [
+        ("r1", "import a\nimport b"),
+        ("r1", "import a"),
+        ("r2", "import a"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {r["module"]: (r["n_imports"], r["n_repos"])
+           for r in dependency_census(df).collect()}
+    assert got == {"a": (3, 2), "b": (1, 1)}
