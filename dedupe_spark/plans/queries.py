@@ -3081,6 +3081,137 @@ ORDER BY module
 """
 
 
+def q_function_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-level clone census (operators/pyfuncs.py) over planted
+    Python sources: every doc carries a ``util_`` function whose name
+    varies with doc_id % 5 and literal with % 3 (15 type-1 groups), even
+    docs add a ``helper_`` (% 7 name, % 4 literal — 28 groups), and a
+    top-level ``print`` trails every file so extraction must stop at the
+    dedent. Level type1 keeps identifiers significant so the census
+    value-checks extraction boundaries, the normalization chain, digest
+    grouping and all three aggregate measures against the RE2 twin."""
+    from dedupe_spark.operators.pyfuncs import function_clone_census
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.concat(
+        F.lit("def util_"), (did % 5).cast("string"),
+        F.lit("(x):\n    return x * "), (did % 3).cast("string"),
+        F.lit("\n\n"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("def helper_"), (did % 7).cast("string"),
+                F.lit("(y):\n    y2 = y + "), (did % 4).cast("string"),
+                F.lit("\n    return y2\n\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("print('done')\n"),
+    )
+    files = docs.select(
+        F.col("source").alias("repo"), content.alias("content")
+    )
+    return (
+        function_clone_census(files, level="type1")
+        .select("fn_sha", "n_copies", "n_repos", "sample_src")
+        .orderBy("fn_sha")
+    )
+
+
+from dedupe_spark.operators.pyfuncs import PY_FUNC_RE as _PY_FUNC_RE
+
+SQL_FUNCTION_CLONES = f"""
+WITH planted AS (
+  SELECT source AS repo,
+         'def util_' || CAST(doc_id % 5 AS VARCHAR)
+         || '(x):' || chr(10) || '    return x * '
+         || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'def helper_' || CAST(doc_id % 7 AS VARCHAR)
+                      || '(y):' || chr(10) || '    y2 = y + '
+                      || CAST(doc_id % 4 AS VARCHAR) || chr(10)
+                      || '    return y2' || chr(10) || chr(10)
+                 ELSE '' END
+         || 'print(''done'')' || chr(10) AS content
+  FROM documents
+), fns AS (
+  SELECT repo,
+         unnest(regexp_extract_all(content, '{_PY_FUNC_RE}', 0)) AS fn_src
+  FROM planted
+), keyed AS (
+  SELECT repo, fn_src,
+         sha256({_norm_sql('fn_src', 'type1')}) AS fn_sha
+  FROM fns
+)
+SELECT fn_sha,
+       count(*) AS n_copies,
+       count(DISTINCT repo) AS n_repos,
+       min(fn_src) AS sample_src
+FROM keyed
+GROUP BY fn_sha
+HAVING count(*) >= 2
+ORDER BY fn_sha
+"""
+
+
+def q_path_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-gate classification (operators/pathfilters.py) over planted
+    repo paths rotating through clean / node_modules / minified bundle /
+    protobuf stub / test tree / vendor tree (doc_id % 6). Value-checks
+    every cascade pattern and the first-match order against the RE2
+    twin built from the same PATH_CLASSES constants."""
+    from dedupe_spark.operators.pathfilters import classify_paths
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    path = (
+        F.when(did % 6 == 0, F.concat(F.lit("src/app"), ds, F.lit(".py")))
+        .when(did % 6 == 1,
+              F.concat(F.lit("node_modules/lib"), ds, F.lit("/index.js")))
+        .when(did % 6 == 2,
+              F.concat(F.lit("assets/bundle"), ds, F.lit(".min.js")))
+        .when(did % 6 == 3,
+              F.concat(F.lit("proto/msg"), ds, F.lit("_pb2.py")))
+        .when(did % 6 == 4,
+              F.concat(F.lit("tests/unit/test_"), ds, F.lit(".py")))
+        .otherwise(F.concat(F.lit("vendor/pkg"), ds, F.lit("/mod.go")))
+    )
+    files = docs.select("doc_id", path.alias("path"))
+    return (
+        classify_paths(files)
+        .select("doc_id", "path", "path_class")
+        .orderBy("doc_id")
+    )
+
+
+from dedupe_spark.operators.pathfilters import (
+    path_class_sql_case as _path_case,
+)
+
+SQL_PATH_CLASSES = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'src/app' || CAST(doc_id AS VARCHAR) || '.py'
+           WHEN 1 THEN 'node_modules/lib' || CAST(doc_id AS VARCHAR)
+                       || '/index.js'
+           WHEN 2 THEN 'assets/bundle' || CAST(doc_id AS VARCHAR)
+                       || '.min.js'
+           WHEN 3 THEN 'proto/msg' || CAST(doc_id AS VARCHAR) || '_pb2.py'
+           WHEN 4 THEN 'tests/unit/test_' || CAST(doc_id AS VARCHAR)
+                       || '.py'
+           ELSE 'vendor/pkg' || CAST(doc_id AS VARCHAR) || '/mod.go'
+         END AS path
+  FROM documents
+)
+SELECT doc_id, path,
+       {_path_case('path')} AS path_class
+FROM planted
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -3118,6 +3249,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "clone_groups": (q_clone_groups, SQL_CLONE_GROUPS),
         "license_detect": (q_license_detect, SQL_LICENSE_DETECT),
         "dependency_census": (q_dependency_census, SQL_DEPENDENCY_CENSUS),
+        "function_clones": (q_function_clones, SQL_FUNCTION_CLONES),
+        "path_classes": (q_path_classes, SQL_PATH_CLASSES),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),

@@ -193,6 +193,97 @@ def test_extract_imports_ignores_midline_and_importless(spark):
     assert [(r["path"], r["module"]) for r in got] == [("b", "real_module")]
 
 
+# ---------------------------------------------------------------------------
+# pyfuncs
+# ---------------------------------------------------------------------------
+
+
+def test_extract_py_functions_boundaries(spark):
+    from dedupe_spark.operators.pyfuncs import extract_py_functions
+
+    content = (
+        "import os\n"
+        "def first(x):\n"
+        "    a = x + 1\n"
+        "\n"
+        "    return a\n"
+        "print('top level')\n"
+        "def second(y):\n"
+        "    return y\n"
+        "class C:\n"
+        "    def method(self):\n"
+        "        return 0\n"
+    )
+    df = spark.createDataFrame(
+        [("r", "f", content)], "repo string, path string, content string"
+    )
+    got = extract_py_functions(df).collect()
+    assert [r["fn_idx"] for r in got] == [0, 1]
+    assert got[0]["fn_src"].startswith("def first")
+    # blank line inside the body is kept, the top-level print is not
+    assert "return a" in got[0]["fn_src"]
+    assert "print" not in got[0]["fn_src"]
+    assert got[1]["fn_src"].startswith("def second")
+    # class-level def is not a top-level function
+    assert "method" not in got[1]["fn_src"]
+
+
+def test_function_clone_census_levels(spark):
+    from dedupe_spark.operators.pyfuncs import function_clone_census
+
+    rows = [
+        ("r1", "def f(x):\n    return x + 1\n"),
+        ("r2", "# note\ndef f(x):\n    return x + 1\n"),  # type-1 clone
+        ("r3", "def g(y):\n    return y + 2\n"),          # type-2 only
+        ("r4", "def h():\n    pass\n"),                    # singleton
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    t1 = function_clone_census(df, level="type1").collect()
+    assert len(t1) == 1 and t1[0]["n_copies"] == 2 and t1[0]["n_repos"] == 2
+    t2 = function_clone_census(df, level="type2").collect()
+    assert len(t2) == 1 and t2[0]["n_copies"] == 3
+    # sample_src is the lexicographic min of the raw (unnormalized) sources
+    assert t2[0]["sample_src"].startswith("# note") is False
+    assert t2[0]["sample_src"].startswith("def f")
+
+
+# ---------------------------------------------------------------------------
+# pathfilters
+# ---------------------------------------------------------------------------
+
+
+def test_path_classification(spark):
+    from dedupe_spark.operators.pathfilters import classify_paths
+
+    rows = [
+        ("src/main.py", "normal"),
+        ("node_modules/lodash/index.js", "vendored"),
+        ("deep/vendor/pkg/mod.go", "vendored"),
+        ("assets/app.min.js", "minified"),
+        ("proto/msg_pb2.py", "generated"),
+        ("package-lock.json", "generated"),
+        ("tests/unit/test_x.py", "test"),
+        ("pkg/foo_test.go", "test"),
+        ("src/Button.test.tsx", "test"),
+        # first-match: minified beats vendored
+        ("node_modules/x/y.min.js", "minified"),
+        # substrings must not trigger: 'mytests/' is not 'tests/'
+        ("mytests/vendored_data.py", "normal"),
+    ]
+    df = spark.createDataFrame(rows, "path string, want string")
+    for r in classify_paths(df).collect():
+        assert r["path_class"] == r["want"], r["path"]
+
+
+def test_filter_clean_paths_keeps_tests(spark):
+    from dedupe_spark.operators.pathfilters import filter_clean_paths
+
+    rows = [("src/a.py",), ("vendor/b.go",), ("tests/test_c.py",)]
+    df = spark.createDataFrame(rows, "path string")
+    got = sorted(r["path"] for r in filter_clean_paths(df).collect())
+    assert got == ["src/a.py", "tests/test_c.py"]
+
+
 def test_dependency_census_counts(spark):
     rows = [
         ("r1", "import a\nimport b"),
