@@ -27,6 +27,12 @@ class PipelineConfig:
 
     # --- fingerprinting ---------------------------------------------------
     shingle_k: int = 3          # token-shingle width
+    # content normalization before fingerprinting: "raw" (byte-identical
+    # semantics, reference parity), "type1" (comments/layout stripped —
+    # The Stack v2 comment-stripped near-dedup) or "type2" (additionally
+    # folds identifiers+literals — clone-candidate granularity). See
+    # operators/clones.py; size/lines stats always describe raw bytes.
+    normalize: str = "raw"
     # simhash fingerprint width for the standalone simhash dedup — the
     # reference's hash_size precision/recall dial (dedupe.py:84-90,
     # hash_size 8/16 → 64/256-bit hashes). 64 (default) keeps the single
@@ -79,6 +85,8 @@ class PipelineConfig:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
         if self.simhash_bits < 64 or self.simhash_bits % 64:
             raise ValueError("simhash_bits must be a positive multiple of 64")
+        if self.normalize not in ("raw", "type1", "type2"):
+            raise ValueError("normalize must be 'raw', 'type1' or 'type2'")
         if self.rep_order not in ("default", "quality"):
             raise ValueError("rep_order must be 'default' or 'quality'")
         if self.min_cluster_size < 2:

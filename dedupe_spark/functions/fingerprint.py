@@ -428,25 +428,43 @@ def with_fingerprints(
     bands: int = 32,
     rows: int = 4,
     add_file_id: bool = True,
+    normalize: str = "raw",
 ) -> DataFrame:
     """Fingerprint projection stage (reference P1/P2, hash_generator.py:39-114).
 
     Adds: file_id, content_sha, size, lines, simhash, minhash_sig,
     band_keys, n_shingles, n_tokens, error.
 
+    ``normalize``: ``"raw"`` (default) fingerprints the content as-is;
+    ``"type1"``/``"type2"`` fingerprint the clone-normalized text
+    (operators/clones.py — comment/layout stripped, type-2 additionally
+    folds identifiers+literals), so the exact tier merges reformatted
+    copies and the near tier compares normalized shingles — The Stack
+    v2's comment-stripped near-dedup as a pipeline mode. ``size`` and
+    ``lines`` always describe the RAW content (space-saved stats count
+    real bytes), and the error channel follows the normalized text, so a
+    comment-only file is degenerate ("empty content") under
+    normalization — nothing substantive to dedup.
+
     Error-channel convention matches the reference (hash_generator.py:102-114):
     degenerate rows (null/empty/whitespace-only content) are kept with
     ``error`` set and excluded from comparisons downstream — never fail the job.
     """
     fp = make_fingerprint_udf(shingle_k, num_perm, bands, rows)
-    c = F.col(content_col)
+    raw = F.col(content_col)
+    if normalize == "raw":
+        c = raw
+    else:
+        from dedupe_spark.operators.clones import normalize_code_col
+
+        c = normalize_code_col(raw, normalize)
     out = df
     if add_file_id and "file_id" not in df.columns:
         out = out.withColumn("file_id", file_id_col())
     out = (
         out.withColumn("content_sha", F.sha2(c, 256))
-        .withColumn("size", F.octet_length(c).cast("long"))
-        .withColumn("lines", F.size(F.split(c, "\n")))
+        .withColumn("size", F.octet_length(raw).cast("long"))
+        .withColumn("lines", F.size(F.split(raw, "\n")))
         .withColumn("_fp", fp(c))
         .select("*", "_fp.*")
         .drop("_fp")

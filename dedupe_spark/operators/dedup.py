@@ -56,6 +56,7 @@ def dedup_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         num_perm=cfg.num_perm,
         bands=cfg.lsh_bands,
         rows=cfg.lsh_rows,
+        normalize=cfg.normalize,
     ).cache()
     # fingerprints are reused by blocking, scoring and the final join — one
     # cached pass so the pandas UDF runs exactly once. (This in-memory path

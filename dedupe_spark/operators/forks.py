@@ -31,7 +31,7 @@ two repos on boilerplate-only evidence).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_DF = 1000
@@ -109,6 +109,90 @@ def fork_pairs(
     )
     shas.unpersist()
     return out
+
+
+def fork_clusters(
+    df: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    *,
+    threshold: float = 0.5,
+    min_shared: int = 2,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Transitive fork clusters over the :func:`fork_pairs` graph.
+
+    Returns one row per repo that belongs to a fork cluster:
+    (repo, fork_cluster, n_files, is_representative). ``fork_cluster``
+    is the lexicographically smallest member repo (the CC min-label
+    convention, operators/cc.py), ``n_files`` the repo's distinct-sha
+    count, and the representative is the LARGEST member (most complete
+    copy), tie-broken by repo name. Non-fork repos are absent — callers
+    treat missing as singleton, same convention as the file pipeline.
+
+    Scale: the repo graph is dim-table sized relative to files (millions
+    vs 10^12), so CC rounds and the rank window run on component-scale
+    data; everything heavy happened in fork_pairs.
+    """
+    from dedupe_spark.operators.cc import connected_components
+
+    pairs = fork_pairs(
+        df,
+        repo_col,
+        content_col,
+        threshold=threshold,
+        min_shared=min_shared,
+        max_df=max_df,
+    )
+    labels = connected_components(
+        pairs, id1="repo_a", id2="repo_b"
+    ).withColumnsRenamed({"file_id": "repo", "component": "fork_cluster"})
+    # per-repo distinct-sha sizes ride along on the pairs (n_a/n_b) — no
+    # second scan of the corpus
+    sizes = (
+        pairs.select(F.col("repo_a").alias("repo"), F.col("n_a").alias("n_files"))
+        .union(
+            pairs.select(F.col("repo_b").alias("repo"), F.col("n_b").alias("n_files"))
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("fork_cluster").orderBy(
+        F.desc("n_files"), F.asc("repo")
+    )
+    return (
+        labels.join(sizes, "repo")
+        .withColumn("is_representative", F.row_number().over(w) == 1)
+        .select("repo", "fork_cluster", "n_files", "is_representative")
+    )
+
+
+def collapse_forks(
+    df: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    *,
+    threshold: float = 0.5,
+    min_shared: int = 2,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """The Stack's stage-1 dedup: drop every file of every non-
+    representative fork-cluster member; the representative repo and all
+    non-fork repos pass through untouched. The drop set is repo-keyed
+    and dim-table sized → BROADCAST anti-join, the corpus is never
+    shuffled."""
+    clusters = fork_clusters(
+        df,
+        repo_col,
+        content_col,
+        threshold=threshold,
+        min_shared=min_shared,
+        max_df=max_df,
+    )
+    drop = (
+        clusters.filter(~F.col("is_representative"))
+        .select(F.col("repo").alias(repo_col))
+    )
+    return df.join(F.broadcast(drop), repo_col, "left_anti")
 
 
 if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)

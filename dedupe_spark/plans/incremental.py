@@ -135,6 +135,7 @@ def incremental_update(
         num_perm=cfg.num_perm,
         bands=cfg.lsh_bands,
         rows=cfg.lsh_rows,
+        normalize=cfg.normalize,
     ).join(existing, "file_id", "left_anti")
 
     leftover = cat.exists(fpb_tbl) and (cat.rows(fpb_tbl) or 0) > 0

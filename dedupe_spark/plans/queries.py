@@ -3212,6 +3212,80 @@ ORDER BY doc_id
 """
 
 
+def q_fork_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive fork clusters + representative election
+    (operators/forks.py) over the same planted corpus as `repo_forks`.
+    Value-checks the CC min-label convention, the size ride-along (n_a/n_b
+    reuse, no second scan) and the largest-member-wins representative
+    rule against a recursive-CTE DuckDB twin."""
+    from dedupe_spark.operators.forks import fork_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.when(
+        did % 3 == 0, F.lit("MIT License boilerplate")
+    ).otherwise(
+        F.concat(
+            F.lit("def f"),
+            (did % 97).cast("string"),
+            F.lit("(): return "),
+            (did % 97).cast("string"),
+        )
+    )
+    files = docs.select(
+        F.col("source").alias("repo"), content.alias("content")
+    )
+    return fork_clusters(
+        files, threshold=0.1, min_shared=2, max_df=16
+    ).orderBy("repo")
+
+
+SQL_FORK_CLUSTERS = """
+WITH RECURSIVE files AS (
+  SELECT source AS repo,
+         CASE WHEN doc_id % 3 = 0 THEN 'MIT License boilerplate'
+              ELSE 'def f' || CAST(doc_id % 97 AS VARCHAR)
+                   || '(): return ' || CAST(doc_id % 97 AS VARCHAR)
+         END AS content
+  FROM documents
+), shas AS (
+  SELECT DISTINCT repo, sha256(content) AS sha FROM files
+), sizes AS (
+  SELECT repo, count(*) AS n FROM shas GROUP BY repo
+), dfc AS (
+  SELECT sha, count(*) AS df FROM shas GROUP BY sha
+), cold AS (
+  SELECT s.repo, s.sha FROM shas s JOIN dfc USING (sha) WHERE df <= 16
+), pairs AS (
+  SELECT repo_a, repo_b FROM (
+    SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared,
+           sa.n AS n_a, sb.n AS n_b
+    FROM cold a JOIN cold b USING (sha)
+    JOIN sizes sa ON sa.repo = a.repo
+    JOIN sizes sb ON sb.repo = b.repo
+    WHERE a.repo < b.repo
+    GROUP BY 1, 2, 4, 5
+    HAVING count(*) >= 2
+  ) WHERE round(shared / (n_a + n_b - shared), 6) >= 0.1
+), sym AS (
+  SELECT repo_a AS src, repo_b AS dst FROM pairs
+  UNION ALL SELECT repo_b, repo_a FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id AS repo, min(label) AS fork_cluster FROM reach GROUP BY id
+)
+SELECT c.repo, c.fork_cluster, s.n AS n_files,
+       row_number() OVER (PARTITION BY c.fork_cluster
+                          ORDER BY s.n DESC, c.repo ASC) = 1
+         AS is_representative
+FROM comp c JOIN sizes s ON s.repo = c.repo
+ORDER BY c.repo
+"""
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -3246,6 +3320,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),
         "repo_forks": (q_repo_forks, SQL_REPO_FORKS),
+        "fork_clusters": (q_fork_clusters, SQL_FORK_CLUSTERS),
         "clone_groups": (q_clone_groups, SQL_CLONE_GROUPS),
         "license_detect": (q_license_detect, SQL_LICENSE_DETECT),
         "dependency_census": (q_dependency_census, SQL_DEPENDENCY_CENSUS),

@@ -144,6 +144,7 @@ class StagedPipeline:
             num_perm=cfg.num_perm,
             bands=cfg.lsh_bands,
             rows=cfg.lsh_rows,
+            normalize=cfg.normalize,
         )
 
     def _build_exact(self) -> DataFrame:

@@ -88,6 +88,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--bands", type=int, default=32,
                    help="LSH bands b; s-curve threshold ~ (1/b)^(1/r)")
     p.add_argument("--rows", type=int, default=4, help="LSH rows per band r")
+    p.add_argument("--normalize", default="raw",
+                   choices=["raw", "type1", "type2"],
+                   help="fingerprint the clone-normalized content instead "
+                        "of raw bytes: type1 strips comments/layout (The "
+                        "Stack v2 comment-stripped near-dedup), type2 also "
+                        "folds identifiers+literals (clone-candidate "
+                        "granularity); size/space-saved stats stay raw")
     p.add_argument("--rep-order", default="default",
                    choices=["default", "quality"],
                    help="representative ranking: 'default' = format-priority "
@@ -118,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         lsh_bands=args.bands,
         lsh_rows=args.rows,
         sample=args.sample,
+        normalize=args.normalize,
         rep_order=args.rep_order,
         run_id=args.run_id,
         warehouse=args.warehouse,

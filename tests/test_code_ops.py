@@ -112,6 +112,99 @@ def test_normalization_steps_rejects_bad_level():
 
 
 # ---------------------------------------------------------------------------
+# fork collapse
+# ---------------------------------------------------------------------------
+
+
+def _fork_corpus(spark):
+    # r1 (3 files) ~ r2 (2 of r1's files) ~ r3 (2 of r2's files, 1 of r1's)
+    # form one transitive cluster; r4 is unrelated.
+    rows = [
+        ("r1", "a"), ("r1", "b"), ("r1", "c"),
+        ("r2", "a"), ("r2", "b"),
+        ("r3", "b"), ("r3", "c"),
+        ("r4", "x"), ("r4", "y"),
+    ]
+    return spark.createDataFrame(rows, "repo string, content string")
+
+
+def test_fork_clusters_transitive_and_representative(spark):
+    from dedupe_spark.operators.forks import fork_clusters
+
+    got = {r["repo"]: r for r in fork_clusters(
+        _fork_corpus(spark), threshold=0.3, min_shared=1
+    ).collect()}
+    assert set(got) == {"r1", "r2", "r3"}          # r4 is no fork
+    assert {r["fork_cluster"] for r in got.values()} == {"r1"}  # min label
+    assert got["r1"]["is_representative"]           # largest member (3)
+    assert not got["r2"]["is_representative"]
+    assert not got["r3"]["is_representative"]
+    assert got["r1"]["n_files"] == 3
+
+
+def test_collapse_forks_keeps_representative_and_singletons(spark):
+    from dedupe_spark.operators.forks import collapse_forks
+
+    out = collapse_forks(
+        _fork_corpus(spark), threshold=0.3, min_shared=1
+    ).collect()
+    assert sorted({r["repo"] for r in out}) == ["r1", "r4"]
+    assert len([r for r in out if r["repo"] == "r1"]) == 3  # all files kept
+
+
+# ---------------------------------------------------------------------------
+# pipeline normalize knob
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_normalize_clusters_reformatted_copies(spark):
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.operators.dedup import dedup_pipeline
+
+    body = "def f(x):\n    return x + 1\n"
+    rows = [
+        ("r1", "a.py", "c", "py", body),
+        ("r2", "b.py", "c", "py", "// reviewed\n" + body.replace("    ", "\t")),
+        ("r3", "c.py", "c", "py", "def unrelated(q):\n    return q * 99\n"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    df = spark.createDataFrame(rows, schema)
+
+    raw = dedup_pipeline(df, PipelineConfig()).collect()
+    assert all(r["cluster_id"] is None for r in raw)  # byte-distinct
+
+    out = dedup_pipeline(df, PipelineConfig(normalize="type1")).collect()
+    by_path = {r["path"]: r for r in out}
+    assert by_path["a.py"]["cluster_id"] is not None
+    assert by_path["a.py"]["cluster_id"] == by_path["b.py"]["cluster_id"]
+    assert by_path["c.py"]["cluster_id"] is None
+    # raw content and raw byte sizes are preserved in the output
+    assert by_path["b.py"]["content"].startswith("// reviewed")
+    assert by_path["b.py"]["size"] == len(rows[1][4].encode())
+
+
+def test_pipeline_normalize_comment_only_is_degenerate(spark):
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.operators.dedup import dedup_pipeline
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    df = spark.createDataFrame(
+        [("r", "notes.py", "c", "py", "# only a comment\n// and another\n")],
+        schema,
+    )
+    row = dedup_pipeline(df, PipelineConfig(normalize="type1")).first()
+    assert row["error"] == "empty content"
+    assert row["cluster_id"] is None
+
+
+def test_pipeline_normalize_validation():
+    from dedupe_spark.config import PipelineConfig
+
+    with pytest.raises(ValueError):
+        PipelineConfig(normalize="type3")
+
+
+# ---------------------------------------------------------------------------
 # licenses
 # ---------------------------------------------------------------------------
 
