@@ -457,7 +457,10 @@ def with_fingerprints(
     else:
         from dedupe_spark.operators.clones import normalize_code_col
 
-        c = normalize_code_col(raw, normalize)
+        # lang-gated '#' stripping: C-family preprocessor directives are
+        # semantic, not comments (operators/clones.py HASH_COMMENT_LANGS).
+        lang = F.col("lang") if "lang" in df.columns else None
+        c = normalize_code_col(raw, normalize, lang)
     out = df
     if add_file_id and "file_id" not in df.columns:
         out = out.withColumn("file_id", file_id_col())

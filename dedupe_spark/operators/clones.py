@@ -49,8 +49,22 @@ DQ_STRING_RE = r'"(?:[^"\\\n]|\\.)*"'
 SQ_STRING_RE = r"'(?:[^'\\\n]|\\.)*'"
 # Block comments: non-greedy dotall body cannot skip past the terminator.
 BLOCK_COMMENT_RE = r"/\*(?s:.*?)\*/"
-# Line comments: # (Python/shell) and // (C family); [^\n]* stops at EOL.
-LINE_COMMENT_RE = r"(#|//)[^\n]*"
+# Line comments, split by marker: '//' (C family) is stripped always;
+# '#' only for hash-comment languages — in the C family a leading '#'
+# is a preprocessor directive (#include/#define), semantic content that
+# must survive normalization (two files differing only in an #include
+# are NOT type-1 clones). [^\n]* stops at EOL.
+SLASH_COMMENT_RE = r"//[^\n]*"
+HASH_COMMENT_RE = r"#[^\n]*"
+
+# Languages whose line comments start with '#'. Lower-cased match; any
+# other/unknown lang keeps its '#' lines. (Markdown is deliberately
+# absent: '#' there is a heading, not a comment.)
+HASH_COMMENT_LANGS = (
+    "python", "py", "ruby", "rb", "shell", "sh", "bash", "zsh", "perl",
+    "pl", "r", "yaml", "yml", "toml", "make", "makefile", "cmake",
+    "julia", "elixir", "nim", "tcl",
+)
 # Type-2 folds.
 NUMBER_RE = r"\b\d+(?:\.\d+)?\b"
 IDENT_RE = r"\b[A-Za-z_][A-Za-z0-9_]*\b"
@@ -63,12 +77,6 @@ STRING_TOKEN = '"S"'
 
 # Ordered (pattern, replacement) chains. Literal replacements only (no
 # group refs), so the Spark and DuckDB replacement strings are identical.
-_COMMON_HEAD: list[tuple[str, str]] = [
-    (DQ_STRING_RE, STRING_TOKEN),
-    (SQ_STRING_RE, STRING_TOKEN),
-    (BLOCK_COMMENT_RE, " "),
-    (LINE_COMMENT_RE, " "),
-]
 _T2_FOLDS: list[tuple[str, str]] = [
     (NUMBER_RE, "0"),
     (IDENT_RE, "id"),
@@ -82,43 +90,96 @@ _LAYOUT_TAIL: list[tuple[str, str]] = [
 LEVELS = ("type1", "type2")
 
 
-def normalization_steps(level: str = "type1") -> list[tuple[str, str]]:
-    """The ordered (pattern, replacement) chain for a clone level."""
+def normalization_steps(
+    level: str = "type1", *, hash_comments: bool = True
+) -> list[tuple[str, str]]:
+    """The ordered (pattern, replacement) chain for a clone level.
+
+    ``hash_comments=False`` omits the '#'-line rule (C-family inputs,
+    where '#' opens a preprocessor directive, not a comment)."""
     if level not in LEVELS:
         raise ValueError(f"level must be one of {LEVELS}, got {level!r}")
+    head = [
+        (DQ_STRING_RE, STRING_TOKEN),
+        (SQ_STRING_RE, STRING_TOKEN),
+        (BLOCK_COMMENT_RE, " "),
+        (SLASH_COMMENT_RE, " "),
+    ]
+    if hash_comments:
+        head.append((HASH_COMMENT_RE, " "))
     folds = _T2_FOLDS if level == "type2" else []
-    return _COMMON_HEAD + folds + _LAYOUT_TAIL
+    return head + folds + _LAYOUT_TAIL
 
 
-def normalize_code_col(content: Column, level: str = "type1") -> Column:
-    """Normalized-source Column: the regex chain + edge trim, all JVM."""
+def _chain_col(content: Column, level: str, hash_comments: bool) -> Column:
     col = content
-    for pat, rep in normalization_steps(level):
+    for pat, rep in normalization_steps(level, hash_comments=hash_comments):
         col = F.regexp_replace(col, pat, rep)
     return F.btrim(col, F.lit(" \n"))
 
 
-def normalize_code_sql(expr: str, level: str = "type1") -> str:
+def normalize_code_col(
+    content: Column, level: str = "type1", lang: Column | None = None
+) -> Column:
+    """Normalized-source Column: the regex chain + edge trim, all JVM.
+
+    With a ``lang`` Column, '#'-line stripping applies only to
+    ``HASH_COMMENT_LANGS`` (lower-cased match) so C-family preprocessor
+    directives survive. Without one, BOTH comment styles are stripped —
+    a documented over-approximation for lang-less corpora (a '#include'
+    line then folds away; pass ``lang`` whenever the schema has it)."""
+    if lang is None:
+        return _chain_col(content, level, True)
+    return F.when(
+        F.lower(lang).isin(*HASH_COMMENT_LANGS),
+        _chain_col(content, level, True),
+    ).otherwise(_chain_col(content, level, False))
+
+
+def normalize_code_sql(
+    expr: str, level: str = "type1", lang_expr: str | None = None
+) -> str:
     """The identical chain as DuckDB SQL (oracle twin). Patterns are the
-    same constants; single quotes doubled for the SQL literal."""
-    e = expr
-    for pat, rep in normalization_steps(level):
-        p = pat.replace("'", "''")
-        r = rep.replace("'", "''")
-        e = f"regexp_replace({e}, '{p}', '{r}', 'g')"
-    return f"trim({e}, ' ' || chr(10))"
+    same constants; single quotes doubled for the SQL literal. With
+    ``lang_expr``, mirrors the lang-gated '#' rule as a CASE."""
+
+    def chain(hash_comments: bool) -> str:
+        e = expr
+        for pat, rep in normalization_steps(level, hash_comments=hash_comments):
+            p = pat.replace("'", "''")
+            r = rep.replace("'", "''")
+            e = f"regexp_replace({e}, '{p}', '{r}', 'g')"
+        return f"trim({e}, ' ' || chr(10))"
+
+    if lang_expr is None:
+        return chain(True)
+    langs = ", ".join(f"'{l}'" for l in HASH_COMMENT_LANGS)
+    return (
+        f"(CASE WHEN lower({lang_expr}) IN ({langs}) "
+        f"THEN {chain(True)} ELSE {chain(False)} END)"
+    )
+
+
+def _lang_of(df: DataFrame, lang_col: str | None) -> Column | None:
+    if lang_col is not None and lang_col in df.columns:
+        return F.col(lang_col)
+    return None
 
 
 def clone_keys(
     df: DataFrame,
     content_col: str = "content",
     levels: tuple[str, ...] = LEVELS,
+    lang_col: str | None = "lang",
 ) -> DataFrame:
     """Append ``t1_sha``/``t2_sha`` digest columns (one per level), one
-    codegen'd projection, no shuffle."""
+    codegen'd projection, no shuffle. When ``lang_col`` exists in the
+    schema, '#'-comment stripping is lang-gated (see
+    ``normalize_code_col``)."""
+    lang = _lang_of(df, lang_col)
     cols = {
         f"t{lvl[-1]}_sha": F.sha2(
-            normalize_code_col(F.col(content_col), lvl), 256
+            normalize_code_col(F.col(content_col), lvl, lang), 256
         )
         for lvl in levels
     }
@@ -131,16 +192,28 @@ def clone_groups(
     *,
     level: str = "type2",
     min_size: int = 2,
+    lang_col: str | None = "lang",
 ) -> DataFrame:
     """Rows belonging to clone groups of ≥ ``min_size`` members, with
     ``norm_sha`` (the group key) and ``group_size`` appended. One hash
     shuffle on the digest (window count == groupBy-join without the
-    join); the digest distributes uniformly, so no skew handling needed.
-    """
-    sha = F.sha2(normalize_code_col(F.col(content_col), level), 256)
+    join).
+
+    Degenerate rows — NULL content, or text that normalizes to empty
+    (whitespace-only / comment-only files) — are excluded BEFORE the
+    window: a real corpus holds millions of empty ``__init__.py`` /
+    license-header-only files that would otherwise share one norm_sha
+    and land in a single window partition (the straggler/OOM shape),
+    besides being reported as the corpus's "largest clone group". With
+    that junk key removed the digest distributes uniformly, so no
+    further skew handling is needed."""
+    norm = normalize_code_col(F.col(content_col), level, _lang_of(df, lang_col))
     w = Window.partitionBy("norm_sha")
     return (
-        df.withColumn("norm_sha", sha)
+        df.withColumn("_norm", norm)
+        .filter(F.col("_norm").isNotNull() & (F.col("_norm") != ""))
+        .withColumn("norm_sha", F.sha2(F.col("_norm"), 256))
+        .drop("_norm")
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .filter(F.col("group_size") >= min_size)
     )

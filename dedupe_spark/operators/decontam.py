@@ -217,6 +217,7 @@ def cross_dedupe(
             num_perm=cfg.num_perm,
             bands=cfg.lsh_bands,
             rows=cfg.lsh_rows,
+            normalize=cfg.normalize,
         ).select(
             F.col("path").alias("id"),
             "content_sha",

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dedupe_spark.functions.cascade import cascade_col, cascade_sql_case
+
 # (spdx_id, distinctive-phrase regex, permissive) — cascade order matters
 # and is shared verbatim with the SQL twin.
 LICENSE_PATTERNS: list[tuple[str, str, bool]] = [
@@ -58,10 +60,9 @@ PERMISSIVE_IDS = tuple(n for n, _, perm in LICENSE_PATTERNS if perm)
 
 def license_col(content: Column) -> Column:
     """First-match license id, ``unknown`` if nothing matches."""
-    expr: Column = F.lit(UNKNOWN)
-    for name, pat, _ in reversed(LICENSE_PATTERNS):
-        expr = F.when(content.rlike(pat), F.lit(name)).otherwise(expr)
-    return expr
+    return cascade_col(
+        content, [(n, p) for n, p, _ in LICENSE_PATTERNS], UNKNOWN
+    )
 
 
 def detect_license(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -79,11 +80,9 @@ def filter_permissive(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 def license_sql_case(expr: str) -> str:
     """The identical cascade as a DuckDB CASE expression (oracle twin)."""
-    whens = "\n".join(
-        f"  WHEN regexp_matches({expr}, '{pat}') THEN '{name}'"
-        for name, pat, _ in LICENSE_PATTERNS
+    return cascade_sql_case(
+        expr, [(n, p) for n, p, _ in LICENSE_PATTERNS], UNKNOWN
     )
-    return f"CASE\n{whens}\n  ELSE '{UNKNOWN}'\nEND"
 
 
 if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dedupe_spark.functions.cascade import cascade_col, cascade_sql_case
+
 MINIFIED_RE = r"\.min\.(js|css)$"
 GENERATED_RE = (
     r"(_pb2\.py|\.pb\.go|_generated\.[A-Za-z0-9]+|package-lock\.json"
@@ -55,10 +57,7 @@ EXCLUDED_CLASSES = ("minified", "generated", "vendored")
 
 def path_class_col(path: Column) -> Column:
     """First-match path class, ``normal`` if nothing matches."""
-    expr: Column = F.lit(NORMAL)
-    for name, pat in reversed(PATH_CLASSES):
-        expr = F.when(path.rlike(pat), F.lit(name)).otherwise(expr)
-    return expr
+    return cascade_col(path, PATH_CLASSES, NORMAL)
 
 
 def classify_paths(df: DataFrame, path_col: str = "path") -> DataFrame:
@@ -76,11 +75,7 @@ def filter_clean_paths(df: DataFrame, path_col: str = "path") -> DataFrame:
 
 def path_class_sql_case(expr: str) -> str:
     """The identical cascade as a DuckDB CASE expression (oracle twin)."""
-    whens = "\n".join(
-        f"  WHEN regexp_matches({expr}, '{pat}') THEN '{name}'"
-        for name, pat in PATH_CLASSES
-    )
-    return f"CASE\n{whens}\n  ELSE '{NORMAL}'\nEND"
+    return cascade_sql_case(expr, PATH_CLASSES, NORMAL)
 
 
 if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)

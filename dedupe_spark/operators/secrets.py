@@ -34,9 +34,11 @@ AWS_KEY_RE = r"AKIA[0-9A-Z]{16}"
 # PEM private-key blocks. The body class is base64 + whitespace and
 # excludes '-', so the greedy match cannot run past the END marker — no
 # lazy quantifier needed (lazy/greedy parity between engines is then moot).
+# Whitespace is the explicit class [ \t\n\f\r], never \s: Java's \s
+# includes \x0B, RE2's doesn't, and the twin must match byte-for-byte.
 PRIVATE_KEY_RE = (
     r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
-    r"[A-Za-z0-9+/=\s]*"
+    r"[A-Za-z0-9+/= \t\n\f\r]*"
     r"-----END [A-Z ]*PRIVATE KEY-----"
 )
 
@@ -44,7 +46,7 @@ PRIVATE_KEY_RE = (
 # ≥ 8 token chars. Group 1 (name) and group 2 (separator) are preserved
 # by the replacement so surrounding code still parses.
 ASSIGNMENT_RE = (
-    r"(?i)\b(api[_-]?key|secret|token|password)(\s*[=:]\s*)"
+    r"(?i)\b(api[_-]?key|secret|token|password)([ \t\n\f\r]*[=:][ \t\n\f\r]*)"
     r"[\"'][A-Za-z0-9_\-]{8,}[\"']"
 )
 

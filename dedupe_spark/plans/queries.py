@@ -2709,7 +2709,10 @@ def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from dedupe_spark.operators.codestats import AUTOGEN_RE as _AUTOGEN_RE
+from dedupe_spark.operators.codestats import (
+    AUTOGEN_HEADER_LINES as _AUTOGEN_HDR,
+    AUTOGEN_RE as _AUTOGEN_RE,
+)
 
 SQL_CODE_QUALITY = f"""
 WITH planted AS (
@@ -2733,7 +2736,9 @@ WITH planted AS (
                / len(string_split(content, chr(10))), 6) AS avg_line_len,
          round(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
                / greatest(length(content), 1), 6) AS alnum_frac,
-         regexp_matches(content, '{_AUTOGEN_RE}') AS autogen
+         regexp_matches(array_to_string(
+             list_slice(string_split(content, chr(10)), 1, {_AUTOGEN_HDR}),
+             chr(10)), '{_AUTOGEN_RE}') AS autogen
   FROM planted
 )
 SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, autogen,
@@ -2909,13 +2914,19 @@ def q_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     m5 = (did % 5).cast("string")
     variant = F.concat(
         F.lit("// v"), did.cast("string"), F.lit("\n"),
+        F.lit("#define V "), (did % 3).cast("string"), F.lit("\n"),
         F.lit("def f_"), m5, F.lit("(a_"), m5, F.lit("):\n    return a_"),
         m5, F.lit(" + "), (did % 3).cast("string"), F.lit("\n"),
     )
     content = F.when(did % 7 == 0, variant).otherwise(
         F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
     )
-    files = docs.select("doc_id", content.alias("content"))
+    # lang alternates python/c: the '#define' line is a comment to strip
+    # on python rows but semantic content on c rows, so same-(m5,m3)
+    # python and c variants must land in DIFFERENT t1 groups — the
+    # lang-gated '#' rule checked at value level.
+    lang = F.when(did % 2 == 0, F.lit("python")).otherwise(F.lit("c"))
+    files = docs.select("doc_id", content.alias("content"), lang.alias("lang"))
     keyed = clone_keys(files)
     w1 = Window.partitionBy("t1_sha")
     w2 = Window.partitionBy("t2_sha")
@@ -2938,18 +2949,20 @@ WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0
               THEN '// v' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || '#define V ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
                    || 'def f_' || CAST(doc_id % 5 AS VARCHAR)
                    || '(a_' || CAST(doc_id % 5 AS VARCHAR)
                    || '):' || chr(10) || '    return a_'
                    || CAST(doc_id % 5 AS VARCHAR)
                    || ' + ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
               ELSE replace(text, ' value ', chr(10))
-         END AS content
+         END AS content,
+         CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'c' END AS lang
   FROM documents
 ), keyed AS (
   SELECT doc_id,
-         sha256({_norm_sql('content', 'type1')}) AS t1_sha,
-         sha256({_norm_sql('content', 'type2')}) AS t2_sha
+         sha256({_norm_sql('content', 'type1', 'lang')}) AS t1_sha,
+         sha256({_norm_sql('content', 'type2', 'lang')}) AS t2_sha
   FROM planted
 )
 SELECT doc_id, t1_sha, t2_sha,

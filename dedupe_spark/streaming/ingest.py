@@ -63,6 +63,7 @@ def ingest_files_stream(
         num_perm=cfg.num_perm,
         bands=cfg.lsh_bands,
         rows=cfg.lsh_rows,
+        normalize=cfg.normalize,
     )
 
     seen_key = f"_ingested_batches/{cfg.run_id}"

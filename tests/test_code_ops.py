@@ -111,6 +111,39 @@ def test_normalization_steps_rejects_bad_level():
         normalization_steps("type3")
 
 
+def test_clone_lang_gate_preserves_c_preprocessor(spark):
+    # Two C files identical except for the #include target are NOT
+    # type-1 clones (a '#' line is a directive, not a comment, in C).
+    rows = [
+        ("a", "c", '#include <a.h>\nint f() { return 1; }\n'),
+        ("b", "c", '#include <b.h>\nint f() { return 1; }\n'),
+        ("c", "python", "# comment one\ndef f():\n    return 1\n"),
+        ("d", "python", "# comment two\ndef f():\n    return 1\n"),
+    ]
+    df = spark.createDataFrame(rows, "path string, lang string, content string")
+    t1 = clone_groups(df, level="type1")
+    # python pair merges (comments stripped); c pair does not
+    assert sorted(r["path"] for r in t1.collect()) == ["c", "d"]
+    # without a lang column the fallback strips both styles (documented
+    # over-approximation) and the c pair over-merges
+    t1_nolang = clone_groups(df.drop("lang"), level="type1")
+    assert sorted(r["path"] for r in t1_nolang.collect()) == ["a", "b", "c", "d"]
+
+
+def test_clone_groups_excludes_degenerate_rows(spark):
+    rows = [
+        ("a", "# just a license header\n"),   # comment-only -> empty norm
+        ("b", "# another header\n"),          # would share the "" key
+        ("c", "   \n\n"),                     # whitespace-only
+        ("d", None),                          # NULL content
+        ("e", "def f(x):\n    return x\n"),
+        ("f", "# v2\ndef f(x):\n  return x\n"),
+    ]
+    df = spark.createDataFrame(rows, "path string, content string")
+    t1 = clone_groups(df, level="type1")
+    assert sorted(r["path"] for r in t1.collect()) == ["e", "f"]
+
+
 # ---------------------------------------------------------------------------
 # fork collapse
 # ---------------------------------------------------------------------------

@@ -226,6 +226,50 @@ def test_incremental_ingest_feeds_staged_pipeline(spark, corpus, tmp_path):
     assert stream_clusters == batch_clusters
 
 
+def test_ingest_threads_normalize_knob(spark, tmp_path):
+    """cfg.normalize must reach the streamed fingerprint projection: a
+    type1-normalized run keys content_sha on the normalized text, so the
+    streamed shas equal the batch twin's and reformatted copies share a
+    sha on BOTH paths (they'd silently diverge if ingest dropped the
+    knob while batch/staged honored it)."""
+    from dedupe_spark.config import PipelineConfig
+    from dedupe_spark.functions.fingerprint import with_fingerprints
+    from dedupe_spark.sources.catalog import Catalog
+    from dedupe_spark.streaming.ingest import ingest_files_stream
+
+    body = "def f(x):\n    return x + 1\n"
+    rows = [
+        ("r1", "a.py", "c", "py", body),
+        ("r2", "b.py", "c", "py", "# reviewed\n" + body.replace("    ", "\t")),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "files")
+    df.write.mode("append").parquet(src)
+
+    cfg = PipelineConfig(
+        run_id="norm_stream", warehouse=str(tmp_path / "wh"), normalize="type1"
+    )
+    q = ingest_files_stream(spark, src, cfg)
+    q.awaitTermination(120)
+
+    streamed = {
+        r["path"]: r["content_sha"]
+        for r in Catalog(spark, cfg.warehouse)
+        .read(f"{cfg.run_id}/fingerprints")
+        .select("path", "content_sha")
+        .collect()
+    }
+    batch = {
+        r["path"]: r["content_sha"]
+        for r in with_fingerprints(df, normalize="type1")
+        .select("path", "content_sha")
+        .collect()
+    }
+    assert streamed == batch
+    assert streamed["a.py"] == streamed["b.py"]  # reformatted copies merge
+
+
 def test_ingest_rearrived_file_id_not_duplicated(spark, corpus, tmp_path):
     """A file legitimately re-arriving in a LATER batch (same repo/path/
     commit ⇒ same file_id) must not duplicate: the keyed append drops it,
