@@ -38,6 +38,22 @@ from dedupe_spark.operators.clones import normalize_code_col
 # A top-level def line, then any run of indented-or-blank lines.
 PY_FUNC_RE = r"(?m)^def [^\n]+(?:\n(?:[ \t]+[^\n]*)?)*"
 
+# Function name from the block's first line (block always starts "def ").
+FN_NAME_RE = r"^def ([A-Za-z_][A-Za-z0-9_]*)"
+
+# Header line + optional leading docstring (PEP 257: the first statement,
+# a triple-quoted literal). Group 1 captures a triple-double body, group
+# 2 a triple-single body; (?s:.*?) is non-greedy so the match stops at
+# the first closing quote — a docstring containing an escaped or single
+# quote is fine, one containing a bare triple-quote of its own kind is a
+# documented mislabel (same discipline as operators/clones.py lexing
+# caveats). Group 0 is the prefix whose removal leaves the body.
+DOC_PREFIX_RE = (
+    r"^def [^\n]*"
+    r"(?:\n[ \t]*(?:\"\"\"((?s:.*?))\"\"\"|'''((?s:.*?))'''))?"
+    r"[ \t]*\n?"
+)
+
 
 def py_functions_col(content: Column) -> Column:
     """Array of top-level Python function source blocks (whole matches)."""
@@ -57,6 +73,54 @@ def extract_py_functions(
         F.posexplode(py_functions_col(F.col(content_col))).alias(
             "fn_idx", "fn_src"
         ),
+    )
+
+
+def extract_docstring_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """CodeSearchNet-style (docstring, code) training pairs: one row per
+    DOCUMENTED top-level function, with ``fn_idx``, ``fn_name``,
+    ``docstring`` (whitespace-trimmed) and ``code`` (the function block
+    with header+docstring removed — the completion target).
+
+    Functions without a docstring, or whose body is empty after removing
+    the docstring, are dropped (CodeSearchNet keeps only documented
+    non-trivial functions). A genuinely empty docstring (``\"\"\"\"\"\"``)
+    trims to '' and is treated as undocumented — DuckDB's regexp_extract
+    returns NULL where Spark returns '' for an unmatched group, so the
+    twin-parity convention is nullif-then-drop on both engines.
+
+    Scale shape: the function explode is map-side (rows ×
+    functions-per-file); everything after it is a codegen'd projection +
+    filter — no shuffle at all, scan-bound at any corpus size.
+    """
+    fns = extract_py_functions(df, content_col, id_cols=id_cols)
+    src = F.col("fn_src")
+    doc_raw = F.coalesce(
+        F.nullif(F.regexp_extract(src, DOC_PREFIX_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(src, DOC_PREFIX_RE, 2), F.lit("")),
+    )
+    prefix = F.regexp_extract(src, DOC_PREFIX_RE, 0)
+    code = F.btrim(
+        F.substring(src, F.length(prefix) + F.lit(1), F.length(src)),
+        F.lit(" \t\n"),
+    )
+    return (
+        fns.select(
+            *id_cols,
+            "fn_idx",
+            F.regexp_extract(src, FN_NAME_RE, 1).alias("fn_name"),
+            F.btrim(doc_raw, F.lit(" \t\n")).alias("docstring"),
+            code.alias("code"),
+        )
+        .filter(
+            F.col("docstring").isNotNull()
+            & (F.col("docstring") != "")
+            & (F.col("code") != "")
+        )
     )
 
 

@@ -3167,6 +3167,181 @@ ORDER BY fn_sha
 """
 
 
+def q_docstring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CodeSearchNet-style (docstring, code) pair extraction
+    (operators/pyfuncs.py) over planted Python sources. Every doc plants
+    a triple-double-quoted documented function (multiline docstring when
+    doc_id % 3 == 0), odd docs add a triple-single-quoted one, every doc
+    adds an UNdocumented function (must be dropped) and doc_id % 5 == 0
+    adds a docstring-only stub (empty code — must be dropped).
+    Value-checks name extraction, both quote styles, multiline capture,
+    the prefix-removal code split and both drop rules against the RE2
+    twin built from the same DOC_PREFIX_RE/FN_NAME_RE constants."""
+    from dedupe_spark.operators.pyfuncs import extract_docstring_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m3, m4, m5, m7 = [
+        (did % k).cast("string") for k in (3, 4, 5, 7)
+    ]
+    doc_text = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("Scale by "), m3, F.lit(".\n    Second line "), m5, F.lit(".")),
+    ).otherwise(F.concat(F.lit("Scale by "), m3, F.lit(".")))
+    content = F.concat(
+        F.lit("def doc_"), m5, F.lit('(x):\n    """'), doc_text,
+        F.lit('"""\n    return x * '), m3, F.lit("\n\n"),
+        F.when(
+            did % 2 == 1,
+            F.concat(
+                F.lit("def alt_"), m7, F.lit("(y):\n    '''alt doc "), m7,
+                F.lit("'''\n    y2 = y + "), m7, F.lit("\n    return y2\n\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("def bare_"), m4, F.lit("(z):\n    return z - "), m4,
+        F.lit("\n\n"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit('def stub_'), m5, F.lit('(q):\n    """stub."""\n\n')),
+        ).otherwise(F.lit("")),
+        F.lit("print('done')\n"),
+    )
+    files = docs.select("doc_id", content.alias("content"))
+    return (
+        extract_docstring_pairs(files, id_cols=("doc_id",))
+        .select("doc_id", "fn_name", "docstring", "code")
+        .orderBy("doc_id", "fn_name")
+    )
+
+
+from dedupe_spark.operators.pyfuncs import (
+    DOC_PREFIX_RE as _DOC_PREFIX_RE,
+    FN_NAME_RE as _FN_NAME_RE,
+)
+
+_DOC_PREFIX_SQL = _DOC_PREFIX_RE.replace("'", "''")
+# a literal """ cannot appear inside this f-string (it would close it)
+_TDQ = '"' * 3
+
+SQL_DOCSTRING_PAIRS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         'def doc_' || CAST(doc_id % 5 AS VARCHAR) || '(x):' || chr(10)
+         || '    {_TDQ}Scale by ' || CAST(doc_id % 3 AS VARCHAR) || '.'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '    Second line '
+                      || CAST(doc_id % 5 AS VARCHAR) || '.'
+                 ELSE '' END
+         || '{_TDQ}' || chr(10) || '    return x * '
+         || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10)
+         || CASE WHEN doc_id % 2 = 1
+                 THEN 'def alt_' || CAST(doc_id % 7 AS VARCHAR)
+                      || '(y):' || chr(10) || '    ''''''alt doc '
+                      || CAST(doc_id % 7 AS VARCHAR) || ''''''''
+                      || chr(10) || '    y2 = y + '
+                      || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                      || '    return y2' || chr(10) || chr(10)
+                 ELSE '' END
+         || 'def bare_' || CAST(doc_id % 4 AS VARCHAR) || '(z):' || chr(10)
+         || '    return z - ' || CAST(doc_id % 4 AS VARCHAR)
+         || chr(10) || chr(10)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN 'def stub_' || CAST(doc_id % 5 AS VARCHAR)
+                      || '(q):' || chr(10) || '    {_TDQ}stub.{_TDQ}'
+                      || chr(10) || chr(10)
+                 ELSE '' END
+         || 'print(''done'')' || chr(10) AS content
+  FROM documents
+), fns AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(content, '{_PY_FUNC_RE}', 0)) AS fn_src
+  FROM planted
+), parsed AS (
+  SELECT doc_id,
+         regexp_extract(fn_src, '{_FN_NAME_RE}', 1) AS fn_name,
+         coalesce(
+           nullif(regexp_extract(fn_src, '{_DOC_PREFIX_SQL}', 1), ''),
+           nullif(regexp_extract(fn_src, '{_DOC_PREFIX_SQL}', 2), '')
+         ) AS doc_raw,
+         regexp_extract(fn_src, '{_DOC_PREFIX_SQL}', 0) AS prefix,
+         fn_src
+  FROM fns
+), pairs AS (
+  SELECT doc_id, fn_name,
+         trim(doc_raw, ' ' || chr(9) || chr(10)) AS docstring,
+         trim(substring(fn_src, length(prefix) + 1),
+              ' ' || chr(9) || chr(10)) AS code
+  FROM parsed
+)
+SELECT doc_id, fn_name, docstring, code
+FROM pairs
+WHERE docstring IS NOT NULL AND docstring != '' AND code != ''
+ORDER BY doc_id, fn_name
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshots.py): old = documents as-is;
+    new = documents minus doc_id % 7 == 0 (removed), with text suffixed
+    on % 5 == 0 (modified), plus % 11 == 0 re-keyed to doc_id + 1000000
+    (added). Value-checks the full-outer presence logic, the sha
+    comparison and every per-row status against the SQL twin."""
+    from dedupe_spark.operators.snapshots import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old = docs.select("source", "doc_id", F.col("text").alias("content"))
+    new = (
+        docs.filter(did % 7 != 0)
+        .select(
+            "source",
+            "doc_id",
+            F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" changed")))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        .unionByName(
+            docs.filter(did % 11 == 0).select(
+                "source",
+                (did + 1000000).alias("doc_id"),
+                F.concat(F.lit("new file "), did.cast("string")).alias(
+                    "content"
+                ),
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, key_cols=("source", "doc_id"))
+        .orderBy("doc_id", "source")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT source, doc_id, sha256(text) AS old_sha FROM documents
+), new AS (
+  SELECT source, doc_id,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' changed'
+                     ELSE text END) AS new_sha
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT source, doc_id + 1000000,
+         sha256('new file ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.source, n.source) AS source,
+       coalesce(o.doc_id, n.doc_id) AS doc_id,
+       o.old_sha, n.new_sha,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_sha = n.new_sha THEN 'unchanged'
+            ELSE 'modified' END AS status
+FROM old o FULL OUTER JOIN new n
+  ON o.source = n.source AND o.doc_id = n.doc_id
+ORDER BY coalesce(o.doc_id, n.doc_id), coalesce(o.source, n.source)
+"""
+
+
 def q_path_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-gate classification (operators/pathfilters.py) over planted
     repo paths rotating through clean / node_modules / minified bundle /
@@ -3338,6 +3513,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "license_detect": (q_license_detect, SQL_LICENSE_DETECT),
         "dependency_census": (q_dependency_census, SQL_DEPENDENCY_CENSUS),
         "function_clones": (q_function_clones, SQL_FUNCTION_CLONES),
+        "docstring_pairs": (q_docstring_pairs, SQL_DOCSTRING_PAIRS),
+        "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
         "path_classes": (q_path_classes, SQL_PATH_CLASSES),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -354,6 +354,95 @@ def test_extract_py_functions_boundaries(spark):
     assert "method" not in got[1]["fn_src"]
 
 
+def test_snapshot_diff_statuses(spark):
+    from dedupe_spark.operators.snapshots import diff_summary, snapshot_diff
+
+    schema = "repo string, path string, content string"
+    old = spark.createDataFrame(
+        [
+            ("r", "same.py", "a"),
+            ("r", "edit.py", "b"),
+            ("r", "gone.py", "c"),
+            ("r", "nullboth.py", None),   # NULL content, present both sides
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("r", "same.py", "a"),
+            ("r", "edit.py", "B2"),
+            ("r", "fresh.py", "d"),
+            ("r", "nullboth.py", None),
+        ],
+        schema,
+    )
+    d = snapshot_diff(old, new)
+    got = {r["path"]: r["status"] for r in d.collect()}
+    assert got == {
+        "same.py": "unchanged",
+        "edit.py": "modified",
+        "gone.py": "removed",
+        "fresh.py": "added",
+        # presence is tracked by markers, not sha nullness: a NULL-content
+        # row present in both snapshots is unchanged, not added/removed
+        "nullboth.py": "unchanged",
+    }
+    s = diff_summary(d).first()
+    assert (s["n_added"], s["n_removed"], s["n_modified"], s["n_unchanged"]) == (
+        1, 1, 1, 2,
+    )
+
+
+def test_snapshot_diff_precomputed_sha_col(spark):
+    from dedupe_spark.operators.snapshots import snapshot_diff
+
+    schema = "repo string, path string, sha string"
+    old = spark.createDataFrame([("r", "a", "s1"), ("r", "b", "s2")], schema)
+    new = spark.createDataFrame([("r", "a", "s1"), ("r", "b", "sX")], schema)
+    got = {
+        r["path"]: r["status"]
+        for r in snapshot_diff(old, new, sha_col="sha").collect()
+    }
+    assert got == {"a": "unchanged", "b": "modified"}
+
+
+def test_extract_docstring_pairs(spark):
+    from dedupe_spark.operators.pyfuncs import extract_docstring_pairs
+
+    content = (
+        'def dq(x):\n    """Add one.\n    Returns x+1."""\n    return x + 1\n'
+        "\n"
+        "def sq(y):\n    '''single style'''\n    return y\n"
+        "\n"
+        "def bare(z):\n    return z\n"
+        "\n"
+        'def stub(q):\n    """doc only, no body"""\n'
+    )
+    df = spark.createDataFrame(
+        [("r", "f", content)], "repo string, path string, content string"
+    )
+    rows = {r["fn_name"]: r for r in extract_docstring_pairs(df).collect()}
+    # undocumented and docstring-only functions are dropped
+    assert sorted(rows) == ["dq", "sq"]
+    assert rows["dq"]["docstring"] == "Add one.\n    Returns x+1."
+    assert rows["dq"]["code"] == "return x + 1"
+    assert rows["dq"]["fn_idx"] == 0
+    assert rows["sq"]["docstring"] == "single style"
+    assert rows["sq"]["code"] == "return y"
+
+
+def test_extract_docstring_pairs_first_statement_only(spark):
+    from dedupe_spark.operators.pyfuncs import extract_docstring_pairs
+
+    # a triple-quoted literal that is NOT the first statement is code,
+    # not a docstring (PEP 257)
+    content = 'def f(x):\n    y = 1\n    """not a docstring"""\n    return y\n'
+    df = spark.createDataFrame(
+        [("r", "f", content)], "repo string, path string, content string"
+    )
+    assert extract_docstring_pairs(df).count() == 0
+
+
 def test_function_clone_census_levels(spark):
     from dedupe_spark.operators.pyfuncs import function_clone_census
 
