@@ -3342,6 +3342,39 @@ ORDER BY coalesce(o.doc_id, n.doc_id), coalesce(o.source, n.source)
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 statistics (operators/bpe.py): adjacent character
+    pairs weighted by word frequency over documents.text, top 100.
+    Value-checks the word histogram, the overlapping-pair expansion and
+    the weighted census against the SQL twin (shared WORD_SPLIT_RE)."""
+    from dedupe_spark.operators.bpe import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", k=100)
+
+
+from dedupe_spark.operators.bpe import WORD_SPLIT_RE as _WORD_SPLIT_RE
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_RE}')) AS word
+  FROM documents
+), hist AS (
+  SELECT word, count(*) AS n FROM words WHERE word != '' GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(word)-1),
+                               i -> substring(word, i, 2))) AS pair,
+         n
+  FROM hist WHERE length(word) >= 2
+)
+SELECT pair, sum(n) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 100
+"""
+
+
 def q_path_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-gate classification (operators/pathfilters.py) over planted
     repo paths rotating through clean / node_modules / minified bundle /
@@ -3515,6 +3548,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "function_clones": (q_function_clones, SQL_FUNCTION_CLONES),
         "docstring_pairs": (q_docstring_pairs, SQL_DOCSTRING_PAIRS),
         "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+        "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
         "path_classes": (q_path_classes, SQL_PATH_CLASSES),
         "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

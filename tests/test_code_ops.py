@@ -354,6 +354,87 @@ def test_extract_py_functions_boundaries(spark):
     assert "method" not in got[1]["fn_src"]
 
 
+def _golden_bpe(word_counts, n_merges):
+    """Reference BPE (Sennrich et al. 2016), same tie-break as the
+    engine: count desc, then lexicographic pair order."""
+    from collections import Counter
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def test_learn_bpe_merges_matches_golden(spark):
+    from collections import Counter
+
+    from dedupe_spark.operators.bpe import learn_bpe_merges
+
+    texts = [
+        "low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest new",
+        "the cat sat on the mat the end",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = learn_bpe_merges(df, "text", n_merges=8)
+
+    words = Counter(w for t in texts for w in t.split())
+    want = _golden_bpe(words, 8)
+    assert got == want
+
+
+def test_bpe_merge_overlapping_run_is_greedy(spark):
+    from dedupe_spark.operators.bpe import segment_words
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",)], "word string")
+    got = {
+        r["word"]: r["tokens"]
+        for r in segment_words(df, [("a", "a")]).collect()
+    }
+    # greedy left-to-right: "aaa" -> [aa, a], "aaaa" -> [aa, aa]
+    assert got == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"]}
+
+
+def test_segment_words_applies_merges_in_order(spark):
+    from dedupe_spark.operators.bpe import segment_words
+
+    df = spark.createDataFrame([("lowest",)], "word string")
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    got = segment_words(df, merges).first()["tokens"]
+    assert got == ["low", "est"]
+
+
+def test_learn_bpe_stops_when_no_repeated_pair(spark):
+    from dedupe_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    # every pair occurs once -> no merge is worth learning
+    assert learn_bpe_merges(df, "text", n_merges=5) == []
+
+
 def test_snapshot_diff_statuses(spark):
     from dedupe_spark.operators.snapshots import diff_summary, snapshot_diff
 
