@@ -3507,6 +3507,127 @@ ORDER BY c.repo
 """
 
 
+# ---------------------------------------------------------------------------
+# structured-record linkage (customer table) — the entity-resolution tier's
+# classic shape over typed attributes instead of document text
+# ---------------------------------------------------------------------------
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (Fellegi-Sunter blocking + comparison +
+    transitive clustering, Christen 2012) over customers: block on
+    (nation, market segment), score names with JVM-codegen Levenshtein,
+    cluster edges with distance <= 2 via connected components. The
+    reference's duplicate-group semantics (groups >= 2, deterministic
+    min-id representative, duplicate_detector.py:60-101) applied to a
+    structured entity table."""
+    from dedupe_spark.operators.linkage import link_records
+
+    cust = _t(spark, sf_dir, "customer")
+    return link_records(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        compare_col="c_name",
+        max_distance=2,
+    ).orderBy("id")
+
+
+SQL_RECORD_LINKAGE = """
+WITH RECURSIVE recs AS (
+  -- null-name rows stay as singletons (levenshtein(NULL,·) is NULL, so
+  -- they can never edge), matching link_records' ids-vs-pairs split
+  SELECT c_custkey AS id, c_name AS val, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey IS NOT NULL
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM recs a JOIN recs b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.id < b.id
+  WHERE levenshtein(a.val, b.val) <= 2
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT r.id, comp.cluster_id, sized.cluster_size,
+       CASE WHEN comp.cluster_id IS NULL THEN NULL
+            ELSE r.id = comp.cluster_id END AS is_representative
+FROM recs r
+LEFT JOIN comp ON comp.id = r.id
+LEFT JOIN sized ON sized.cluster_id = comp.cluster_id
+"""
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (reduction ratio / pairs completeness /
+    pairs quality, Christen 2012 ch. 7) for first-token blocking against
+    normalized-wordset ground truth on documents. Pure group-size
+    aggregation — no pair set is materialized in either engine's plan,
+    so the metric itself is 100-TB-safe."""
+    from dedupe_spark.operators.linkage import blocking_metrics
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    feat = docs.select(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.trim(F.col("text")), "\\s+"))
+                ),
+                " ",
+            )
+        ).alias("truth_key"),
+        F.split(F.trim(F.col("text")), "\\s+").getItem(0).alias("block_key"),
+    )
+    return blocking_metrics(
+        feat, truth_cols=["truth_key"], block_cols=["block_key"]
+    )
+
+
+SQL_BLOCKING_EVAL = """
+WITH recs AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS truth_key,
+         regexp_split_to_array(trim(text), '\\s+')[1] AS block_key
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), tot AS (
+  SELECT count(*) AS n_records,
+         count(*) * (count(*) - 1) / 2.0 AS total_pairs FROM recs
+), cand AS (
+  SELECT coalesce(sum(s * (s - 1) / 2.0), 0.0) AS candidate_pairs
+  FROM (SELECT count(*) AS s FROM recs GROUP BY block_key)
+), tru AS (
+  SELECT coalesce(sum(s * (s - 1) / 2.0), 0.0) AS true_pairs
+  FROM (SELECT count(*) AS s FROM recs GROUP BY truth_key)
+), cov AS (
+  SELECT coalesce(sum(s * (s - 1) / 2.0), 0.0) AS covered_true_pairs
+  FROM (SELECT count(*) AS s FROM recs GROUP BY truth_key, block_key)
+)
+SELECT n_records, total_pairs, candidate_pairs, true_pairs,
+       covered_true_pairs,
+       CASE WHEN total_pairs > 0
+            THEN round(1.0 - candidate_pairs / total_pairs, 6) END
+         AS reduction_ratio,
+       CASE WHEN true_pairs > 0
+            THEN round(covered_true_pairs / true_pairs, 6) END
+         AS pairs_completeness,
+       CASE WHEN candidate_pairs > 0
+            THEN round(covered_true_pairs / candidate_pairs, 6) END
+         AS pairs_quality
+FROM tot, cand, tru, cov
+"""
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -3537,6 +3658,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
         "span_dedupe": (q_span_dedupe, SQL_SPAN_DEDUPE),
+        "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
+        "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

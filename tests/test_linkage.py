@@ -1,0 +1,132 @@
+"""Fuzzy record linkage: planted-duplicate clustering, skew guard,
+null handling, and blocking-metric arithmetic on closed-form inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.linkage import (
+    blocking_metrics,
+    candidate_pairs,
+    link_records,
+    score_pairs,
+)
+
+
+def _people(spark):
+    # two planted duplicate families inside block A, one cross-block
+    # near-pair that blocking must NOT link, singletons elsewhere
+    rows = [
+        (1, "A", "jonathan smith"),
+        (2, "A", "jonathon smith"),   # lev 1 from #1
+        (3, "A", "jonathan smyth"),   # lev 1 from #1, lev 2 from #2
+        (4, "A", "maria garcia"),
+        (5, "A", "mariah garcia"),    # lev 1 from #4
+        (6, "B", "jonathan smith"),   # identical name, different block
+        (7, "B", "completely other"),
+        (8, "C", None),               # null compare value -> singleton
+        (9, "C", "zzz"),
+    ]
+    return spark.createDataFrame(rows, "rid int, blk string, name string")
+
+
+def test_link_records_planted_clusters(spark):
+    out = link_records(
+        _people(spark),
+        id_col="rid",
+        block_cols=["blk"],
+        compare_col="name",
+        max_distance=2,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 9  # every record present, including the null-name row
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1
+    assert got[3]["cluster_id"] == 1 and got[1]["cluster_size"] == 3
+    assert got[4]["cluster_id"] == got[5]["cluster_id"] == 4
+    # same name, different block: blocking must keep 6 out of cluster 1
+    for rid in (6, 7, 8, 9):
+        assert got[rid]["cluster_id"] is None
+        assert got[rid]["cluster_size"] is None
+        assert got[rid]["is_representative"] is None
+    assert got[1]["is_representative"] is True
+    assert got[2]["is_representative"] is False
+
+
+def test_score_pairs_over_threshold_is_dropped_not_negative(spark):
+    # bounded levenshtein returns -1 past the threshold; the filter must
+    # not let -1 through as "<= max_distance"
+    pairs = spark.createDataFrame(
+        [(1, 2, "aaaaaaaaaa", "bbbbbbbbbb"), (3, 4, "abc", "abd")],
+        "id1 int, id2 int, left_val string, right_val string",
+    )
+    got = score_pairs(pairs, max_distance=2).collect()
+    assert [(r["id1"], r["id2"], r["distance"]) for r in got] == [(3, 4, 1)]
+
+
+def test_candidate_pairs_skew_guard_drops_hot_block(spark):
+    rows = [(i, "hot", f"v{i}") for i in range(50)] + [
+        (100, "cold", "x"),
+        (101, "cold", "y"),
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, name string")
+    got = candidate_pairs(
+        df, id_col="rid", block_cols=["blk"], compare_col="name", max_block=10
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in got] == [(100, 101)]
+    # and with the guard off, the hot block pairs in full: C(50,2) + 1
+    n = candidate_pairs(
+        df, id_col="rid", block_cols=["blk"], compare_col="name",
+        max_block=None,
+    ).count()
+    assert n == 50 * 49 // 2 + 1
+
+
+def test_blocking_metrics_closed_form(spark):
+    # truth groups: {1,2,3}, {4,5}, {6} -> true pairs = 3 + 1 = 4
+    # blocks:       {1,2,4,5}, {3,6}    -> candidate pairs = 6 + 1 = 7
+    # co-blocked true pairs: (1,2), (4,5) -> 2
+    rows = [
+        (1, "t1", "b1"),
+        (2, "t1", "b1"),
+        (3, "t1", "b2"),
+        (4, "t2", "b1"),
+        (5, "t2", "b1"),
+        (6, "t3", "b2"),
+    ]
+    df = spark.createDataFrame(rows, "rid int, truth string, blk string")
+    m = blocking_metrics(df, truth_cols=["truth"], block_cols=["blk"]).first()
+    assert m["n_records"] == 6
+    assert m["total_pairs"] == 15.0
+    assert m["candidate_pairs"] == 7.0
+    assert m["true_pairs"] == 4.0
+    assert m["covered_true_pairs"] == 2.0
+    assert m["reduction_ratio"] == round(1 - 7 / 15, 6)
+    assert m["pairs_completeness"] == 0.5
+    assert m["pairs_quality"] == round(2 / 7, 6)
+
+
+def test_blocking_metrics_no_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "rid int, truth string, blk string"
+    )
+    m = blocking_metrics(df, truth_cols=["truth"], block_cols=["blk"]).first()
+    assert m["candidate_pairs"] == 0.0 and m["true_pairs"] == 0.0
+    assert m["pairs_completeness"] is None and m["pairs_quality"] is None
+    assert m["reduction_ratio"] == 1.0
+
+
+def test_linkage_plan_is_jvm_only(spark):
+    """The hot path (pairing + scoring) must stay in codegen: no
+    BatchEvalPython / cartesian product in the physical plan."""
+    edges = score_pairs(
+        candidate_pairs(
+            _people(spark),
+            id_col="rid",
+            block_cols=["blk"],
+            compare_col="name",
+        ),
+        max_distance=2,
+    )
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
