@@ -38,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dedupe_spark.operators.cc import connected_components
+from dedupe_spark.operators.cc import (
+    connected_components,
+    partitioned_components,
+)
 
 # Default per-block pairing cap. 10_000 rows in one block is ~5*10^7
 # comparisons for that block alone — already past the point where the
@@ -56,7 +59,7 @@ def candidate_pairs(
     max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Within-block candidate pairs with the comparison attribute on
-    both sides: (id1, id2, left_val, right_val), id1 < id2.
+    both sides: (id1, id2, left_val, right_val, *block_cols), id1 < id2.
 
     ``max_block=None`` disables the skew guard (small curated inputs
     only — never at corpus scale).
@@ -88,13 +91,15 @@ def candidate_pairs(
         F.col("_rid").alias("id2"),
         F.col("_val").alias("right_val"),
     )
+    # block cols ride along: downstream clustering exploits the fact that
+    # edges never cross a block (partitioned_components)
     return a.join(b, block_cols).filter(F.col("id1") < F.col("id2")).select(
-        "id1", "id2", "left_val", "right_val"
+        "id1", "id2", "left_val", "right_val", *block_cols
     )
 
 
 def score_pairs(
-    pairs: DataFrame, *, max_distance: int
+    pairs: DataFrame, *, max_distance: int, carry: list[str] | None = None
 ) -> DataFrame:
     """Levenshtein-score candidate pairs, keep edges within threshold.
 
@@ -103,6 +108,8 @@ def score_pairs(
     instead of O(len^2) per pair, which matters when blocks pair long
     attribute strings. Over-threshold pairs come back as **-1**, not a
     big number, so the keep-filter must be two-sided.
+
+    ``carry`` columns (e.g. the block key) pass through untouched.
     """
     return pairs.select(
         "id1",
@@ -110,6 +117,7 @@ def score_pairs(
         F.levenshtein("left_val", "right_val", max_distance).alias(
             "distance"
         ),
+        *(carry or []),
     ).filter(F.col("distance").between(0, max_distance))
 
 
@@ -134,8 +142,17 @@ def link_records(
         compare_col=compare_col,
         max_block=max_block,
     )
-    edges = score_pairs(pairs, max_distance=max_distance)
-    comp = connected_components(edges)
+    edges = score_pairs(pairs, max_distance=max_distance, carry=block_cols)
+    if max_block is not None:
+        # single-pass blocking ⇒ no component crosses a block, and the
+        # block cap bounds per-task memory ⇒ solve each block exactly in
+        # one shuffle instead of O(log n) iterative star rounds (which
+        # cost a checkpointed multi-shuffle job per round — the match
+        # graph of near-identical entity names is chain-shaped, the
+        # star rounds' worst case)
+        comp = partitioned_components(edges, key_cols=block_cols)
+    else:
+        comp = connected_components(edges.select("id1", "id2"))
 
     ids = df.select(F.col(id_col).alias("id")).filter(
         F.col("id").isNotNull()

@@ -115,6 +115,52 @@ def test_blocking_metrics_no_pairs(spark):
     assert m["reduction_ratio"] == 1.0
 
 
+def test_partitioned_components_matches_global_cc(spark):
+    """Per-block union-find must reproduce connected_components exactly
+    (labels included) on a multi-block graph with chain, star, and
+    singleton-edge shapes — chains are the worst case the per-block
+    solver exists to shortcut."""
+    import random
+
+    from dedupe_spark.operators.cc import (
+        connected_components,
+        partitioned_components,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # block 0: one long chain (diameter = 60) with shuffled string ids
+    ids = [f"v{rng.randrange(10**6):06d}" for _ in range(61)]
+    edges += [("b0", a, b) for a, b in zip(ids, ids[1:])]
+    # block 1: a star + an isolated pair
+    edges += [("b1", "hub", f"leaf{i}") for i in range(5)]
+    edges += [("b1", "px", "py")]
+    # block 2: two triangles sharing nothing
+    edges += [("b2", x, y) for x, y in [("t1", "t2"), ("t2", "t3"), ("t1", "t3"),
+                                        ("u1", "u2"), ("u2", "u3"), ("u1", "u3")]]
+    df = spark.createDataFrame(edges, "blk string, id1 string, id2 string")
+
+    got = {
+        r["file_id"]: r["component"]
+        for r in partitioned_components(df, key_cols=["blk"]).collect()
+    }
+    want = {
+        r["file_id"]: r["component"]
+        for r in connected_components(df, compact=False).collect()
+    }
+    assert got == want
+    # and the chain really is one component labeled by its min id
+    assert len({got[i] for i in ids}) == 1
+    assert got[ids[0]] == min(ids)
+
+
+def test_partitioned_components_empty_edges(spark):
+    from dedupe_spark.operators.cc import partitioned_components
+
+    df = spark.createDataFrame([], "blk string, id1 string, id2 string")
+    assert partitioned_components(df, key_cols=["blk"]).count() == 0
+
+
 def test_linkage_plan_is_jvm_only(spark):
     """The hot path (pairing + scoring) must stay in codegen: no
     BatchEvalPython / cartesian product in the physical plan."""
