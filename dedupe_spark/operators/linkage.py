@@ -174,6 +174,90 @@ def link_records(
     )
 
 
+MERGE_RULES = ("min", "max", "longest", "mode")
+
+
+def merge_clusters(
+    df: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship / golden-record fusion (Christen 2012 ch. 6.11;
+    Bleiholder & Naumann, "Data Fusion", CSUR'09): collapse each linked
+    cluster to ONE merged record, resolving every attribute by rule.
+
+    ``assignments`` is :func:`link_records` output (id, cluster_id, ...);
+    singletons (cluster_id null) become their own entity, so the result
+    is a complete deduplicated master table keyed by ``entity_id`` =
+    coalesce(cluster_id, id). Rules per attribute:
+
+    - ``min`` / ``max``  — plain extrema (nulls ignored, Spark agg rule)
+    - ``longest``        — longest non-null string, ties broken toward
+                           the smallest value (deterministic)
+    - ``mode``           — most frequent non-null value, ties broken
+                           toward the smallest value
+
+    Plan shape: one groupBy covers count + min/max/longest (all are
+    partial-aggregating — ``longest`` is min of a (-length, value)
+    struct, which combines map-side like any min). Each ``mode`` column
+    adds one (entity, value) partial-agg count plus an entity-scale
+    join — frequency needs its own key, there is no single-pass form.
+    Everything is JVM expressions; nothing leaves Tungsten rows.
+    """
+    for col, rule in rules.items():
+        if rule not in MERGE_RULES:
+            raise ValueError(
+                f"rule for {col!r} must be one of {MERGE_RULES}, got {rule!r}"
+            )
+
+    ent = assignments.select(
+        F.col("id").alias("_mid"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("entity_id"),
+    )
+    joined = df.join(ent, F.col(id_col) == F.col("_mid")).drop("_mid")
+
+    aggs = [F.count("*").alias("n_members")]
+    mode_cols = []
+    for col, rule in rules.items():
+        if rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "longest":
+            aggs.append(
+                F.min(
+                    F.when(
+                        F.col(col).isNotNull(),
+                        F.struct(
+                            (-F.length(col)).alias("nl"), F.col(col).alias("v")
+                        ),
+                    )
+                )["v"].alias(col)
+            )
+        else:
+            mode_cols.append(col)
+
+    out = joined.groupBy("entity_id").agg(*aggs)
+    for col in mode_cols:
+        freq = (
+            joined.filter(F.col(col).isNotNull())
+            .groupBy("entity_id", col)
+            .agg(F.count("*").alias("_cnt"))
+            .groupBy("entity_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_cnt")).alias("nc"), F.col(col).alias("v")
+                    )
+                )["v"].alias(col)
+            )
+        )
+        out = out.join(freq, "entity_id", "left")
+    return out
+
+
 def blocking_metrics(
     df: DataFrame,
     *,
@@ -259,3 +343,28 @@ def blocking_metrics(
             "pairs_quality"
         ),
     )
+
+
+if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("input", help="parquet path of the entity table")
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--block-cols", required=True, help="comma-separated")
+    p.add_argument("--compare-col", required=True)
+    p.add_argument("--max-distance", type=int, default=2)
+    p.add_argument("--max-block", type=int, default=DEFAULT_MAX_BLOCK)
+    a = p.parse_args()
+
+    from dedupe_spark.session import get_spark
+
+    spark = get_spark(app_name="link_records")
+    link_records(
+        spark.read.parquet(a.input),
+        id_col=a.id_col,
+        block_cols=a.block_cols.split(","),
+        compare_col=a.compare_col,
+        max_distance=a.max_distance,
+        max_block=a.max_block,
+    ).orderBy(F.desc("cluster_size"), "id").show(20, truncate=40)

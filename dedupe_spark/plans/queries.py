@@ -3567,6 +3567,103 @@ LEFT JOIN sized ON sized.cluster_id = comp.cluster_id
 """
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship fusion (golden record, Christen 2012 ch. 6.11) over the
+    linked customer clusters: one master row per entity with per-attribute
+    resolution — longest name, modal segment, min nation, max balance —
+    exercising every merge rule. Demonstrates the full ER arc:
+    block → compare → cluster → merge."""
+    from dedupe_spark.operators.linkage import link_records, merge_clusters
+
+    cust = _t(spark, sf_dir, "customer")
+    assign = link_records(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        compare_col="c_name",
+        max_distance=2,
+    )
+    return (
+        merge_clusters(
+            cust,
+            assign,
+            id_col="c_custkey",
+            rules={
+                "c_name": "longest",
+                "c_mktsegment": "mode",
+                "c_nationkey": "min",
+                "c_acctbal": "max",
+            },
+        )
+        .select(
+            "entity_id",
+            "n_members",
+            "c_name",
+            "c_mktsegment",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+# the assignment CTEs are SQL_RECORD_LINKAGE's, re-derived here because the
+# golden record needs the entity key (coalesce(cluster_id, id)), not the
+# per-record audit columns
+SQL_GOLDEN_RECORDS = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS id, c_name AS val, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey IS NOT NULL
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM recs a JOIN recs b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.id < b.id
+  WHERE levenshtein(a.val, b.val) <= 2
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), assign AS (
+  SELECT r.id, coalesce(comp.cluster_id, r.id) AS entity_id
+  FROM recs r LEFT JOIN comp ON comp.id = r.id
+), joined AS (
+  SELECT a.entity_id, c.c_name, c.c_mktsegment, c.c_nationkey, c.c_acctbal
+  FROM customer c JOIN assign a ON a.id = c.c_custkey
+), base AS (
+  SELECT entity_id, count(*) AS n_members, min(c_nationkey) AS c_nationkey,
+         max(c_acctbal) AS acct
+  FROM joined GROUP BY entity_id
+), longest AS (
+  SELECT entity_id, c_name FROM (
+    SELECT entity_id, c_name,
+           row_number() OVER (PARTITION BY entity_id
+             ORDER BY length(c_name) DESC, c_name) AS rn
+    FROM joined WHERE c_name IS NOT NULL) WHERE rn = 1
+), modal AS (
+  SELECT entity_id, c_mktsegment FROM (
+    SELECT entity_id, c_mktsegment,
+           row_number() OVER (PARTITION BY entity_id
+             ORDER BY cnt DESC, c_mktsegment) AS rn
+    FROM (SELECT entity_id, c_mktsegment, count(*) AS cnt FROM joined
+          WHERE c_mktsegment IS NOT NULL GROUP BY entity_id, c_mktsegment))
+  WHERE rn = 1
+)
+SELECT b.entity_id, b.n_members, l.c_name, m.c_mktsegment, b.c_nationkey,
+       round(b.acct, 2) AS c_acctbal
+FROM base b
+LEFT JOIN longest l USING (entity_id)
+LEFT JOIN modal m USING (entity_id)
+ORDER BY b.entity_id
+"""
+
+
 def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme evaluation (reduction ratio / pairs completeness /
     pairs quality, Christen 2012 ch. 7) for first-token blocking against
@@ -3660,6 +3757,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "span_dedupe": (q_span_dedupe, SQL_SPAN_DEDUPE),
         "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
         "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
+        "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

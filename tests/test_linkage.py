@@ -115,6 +115,87 @@ def test_blocking_metrics_no_pairs(spark):
     assert m["reduction_ratio"] == 1.0
 
 
+def test_merge_clusters_rules(spark):
+    from dedupe_spark.operators.linkage import merge_clusters
+
+    recs = spark.createDataFrame(
+        [
+            # cluster 1 = {1, 2, 3}
+            (1, "bob", "12 main street", "555", 10.0),
+            (2, "ann", "12 main st", "777", 30.0),
+            (3, "cal", None, "777", 20.0),
+            # singleton 4
+            (4, "dee", "x", None, -5.0),
+        ],
+        "rid int, name string, addr string, phone string, bal double",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, None)], "id int, cluster_id int"
+    )
+    got = {
+        r["entity_id"]: r
+        for r in merge_clusters(
+            recs,
+            assign,
+            id_col="rid",
+            rules={
+                "name": "min",
+                "addr": "longest",
+                "phone": "mode",
+                "bal": "max",
+            },
+        ).collect()
+    }
+    assert set(got) == {1, 4}
+    g1 = got[1]
+    assert g1["n_members"] == 3
+    assert g1["name"] == "ann"              # min
+    assert g1["addr"] == "12 main street"   # longest non-null
+    assert g1["phone"] == "777"             # mode (2 of 3)
+    assert g1["bal"] == 30.0                # max
+    g4 = got[4]
+    assert g4["n_members"] == 1 and g4["phone"] is None and g4["bal"] == -5.0
+
+
+def test_merge_clusters_tie_breaks_and_all_null(spark):
+    from dedupe_spark.operators.linkage import merge_clusters
+
+    recs = spark.createDataFrame(
+        [(1, "bb", "q"), (2, "aa", "p"), (3, None, None)],
+        "rid int, s string, t string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id int, cluster_id int"
+    )
+    row = merge_clusters(
+        recs, assign, id_col="rid", rules={"s": "longest", "t": "mode"}
+    ).first()
+    # equal lengths / equal counts -> smallest value, deterministically
+    assert row["s"] == "aa"
+    assert row["t"] == "p"
+
+    # all-null attribute stays null rather than erroring
+    recs2 = spark.createDataFrame([(1, None), (2, None)], "rid int, s string")
+    assign2 = spark.createDataFrame([(1, 1), (2, 1)], "id int, cluster_id int")
+    for rule in ("longest", "mode", "min", "max"):
+        assert (
+            merge_clusters(recs2, assign2, id_col="rid", rules={"s": rule})
+            .first()["s"]
+            is None
+        )
+
+
+def test_merge_clusters_rejects_unknown_rule(spark):
+    import pytest
+
+    from dedupe_spark.operators.linkage import merge_clusters
+
+    recs = spark.createDataFrame([(1, "a")], "rid int, s string")
+    assign = spark.createDataFrame([(1, None)], "id int, cluster_id int")
+    with pytest.raises(ValueError, match="rule for 's'"):
+        merge_clusters(recs, assign, id_col="rid", rules={"s": "latest"})
+
+
 def test_partitioned_components_matches_global_cc(spark):
     """Per-block union-find must reproduce connected_components exactly
     (labels included) on a multi-block graph with chain, star, and
