@@ -1,0 +1,406 @@
+"""Fellegi–Sunter probabilistic record linkage (JASA'69).
+
+The decision-theoretic core of classical entity resolution — and of its
+modern Spark incarnations (Splink, JedAI): each candidate pair gets a
+log-likelihood-ratio **match weight** summed over per-field agreement
+evidence, where
+
+- ``m_f`` = P(field f agrees | pair is a true match)   — supplied by the
+  caller (domain knowledge) or estimated by EM on agreement patterns,
+- ``u_f`` = P(field f agrees | pair is a non-match)    — estimated from
+  the data itself: the probability two *random* records agree on f,
+  which is Σ_v C(count_v, 2) / C(n, 2) over f's value histogram.
+
+Weight contribution per field: ``log2(m/u)`` on agreement,
+``log2((1-m)/(1-u))`` on disagreement, **0 when either side is null**
+(missing data carries no evidence either way — Christen 2012 §6.3).
+Posterior match probability given a prior λ follows from Bayes in odds
+form: ``odds = λ/(1-λ) · 2^weight``, ``p = odds/(1+odds)``.
+
+This generalizes the reference's fixed consensus vote
+(hash_generator.py:160-187: k-of-n boolean signals with equal say) to
+*calibrated, data-driven* per-signal evidence — the reason a frequency-
+aware linker can know that agreeing on a rare surname means far more
+than agreeing on a market segment.
+
+Scale design (10^12-record posture):
+
+- ``u_probabilities`` is one scan: per-field (field, value) rows emitted
+  with a single ``explode`` of a literal struct array, then two chained
+  partial aggregations. The explode multiplies rows ×|fields| but
+  map-side combine collapses them immediately; no joins, no windows.
+- m/u land in the plan as **literals** (``estimate_u`` collects the
+  ≤|fields|-row aggregate — a bounded driver collect, same contract as
+  the IVF centroid collect, similarity.py:378-398), so the per-pair
+  scoring is pure whole-stage-codegen arithmetic: zero joins, zero
+  Python, on the candidate-pair stream.
+- Candidate generation reuses the blocked, skew-guarded pairing of
+  :mod:`dedupe_spark.operators.linkage` — no all-pairs path exists.
+- EM (``estimate_m_u``) iterates on the **agreement-pattern contingency
+  table** (≤ 2^|fields| rows, fields capped at 16), never on pairs: one
+  Spark aggregation compresses billions of pairs to the sufficient
+  statistics, then numpy runs the E/M steps driver-side in microseconds.
+  Deterministic: fixed init, fixed iteration count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from dedupe_spark.operators.linkage import DEFAULT_MAX_BLOCK
+
+MAX_EM_FIELDS = 16  # 2^16 pattern rows — the EM collect stays bounded
+
+
+def u_probabilities(df: DataFrame, *, fields: list[str]) -> DataFrame:
+    """Per-field random-agreement probability from the value histogram.
+
+    Returns (field, n, n_nonnull, n_distinct, u) where
+    ``u = Σ_v C(count_v, 2) / C(n, 2)`` over non-null values and ``n``
+    counts ALL rows (a pair involving a null cannot agree but is still a
+    possible pair, so it belongs in the denominator).
+
+    One scan: explode a literal array of (field, value-as-string)
+    structs, then groupBy twice — both aggregations combine map-side.
+    Casting to string for the common explode type is safe here because
+    equality on the cast never merges distinct values of the base
+    numeric/date types Spark renders canonically.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f).cast("string").alias("val"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.field", "fv.val")
+    counts = tagged.groupBy("field", "val").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("field").agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNotNull(), F.col("c"))), F.lit(0)
+        ).alias("n_nonnull"),
+        F.count(F.when(F.col("val").isNotNull(), F.lit(1))).alias(
+            "n_distinct"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("val").isNotNull(),
+                    F.col("c") * (F.col("c") - 1) / 2.0,
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_agree_pairs"),
+    )
+    return agg.select(
+        "field",
+        "n",
+        "n_nonnull",
+        "n_distinct",
+        F.when(
+            F.col("n") > 1,
+            F.col("_agree_pairs") / (F.col("n") * (F.col("n") - 1) / 2.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("u"),
+    )
+
+
+def estimate_u(df: DataFrame, *, fields: list[str]) -> dict[str, float]:
+    """Collect :func:`u_probabilities` into literals for plan folding.
+
+    Bounded driver collect: exactly ``len(fields)`` rows. Clamps into
+    (0, 1) open interval so the log-odds weights stay finite even for an
+    all-distinct (u→0) or constant (u→1) field.
+    """
+    rows = u_probabilities(df, fields=fields).collect()
+    eps = 1e-9
+    return {r["field"]: min(max(float(r["u"]), eps), 1.0 - eps) for r in rows}
+
+
+def field_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[str],
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Within-block candidate pairs carrying every comparison field on
+    both sides: (id1, id2, l_<f>, r_<f>..., *block_cols), id1 < id2.
+
+    The multi-field sibling of ``linkage.candidate_pairs`` with the same
+    skew guard: block sizes from a partial aggregation, over-cap blocks
+    dropped via a broadcast anti-join before any pairing happens.
+    Unlike the single-field variant, null comparison values do NOT drop
+    the row — Fellegi–Sunter treats missing fields as zero-evidence, so
+    a record with one null attribute must still pair on the others.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_rid"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(f).alias(f"_v_{f}") for f in fields],
+    ).filter(F.col("_rid").isNotNull())
+    # null block keys never co-block (SQL join-equality semantics would
+    # drop them anyway); make it explicit so the census doesn't count them
+    for c in block_cols:
+        keyed = keyed.filter(F.col(c).isNotNull())
+
+    if max_block is not None:
+        hot = (
+            keyed.groupBy(*block_cols)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select(*block_cols)
+        )
+        keyed = keyed.join(F.broadcast(hot), block_cols, "left_anti")
+
+    a = keyed.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_rid").alias("id1"),
+        *[F.col(f"_v_{f}").alias(f"l_{f}") for f in fields],
+    )
+    b = keyed.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_rid").alias("id2"),
+        *[F.col(f"_v_{f}").alias(f"r_{f}") for f in fields],
+    )
+    return a.join(b, block_cols).filter(F.col("id1") < F.col("id2")).select(
+        "id1",
+        "id2",
+        *[F.col(f"l_{f}") for f in fields],
+        *[F.col(f"r_{f}") for f in fields],
+        *block_cols,
+    )
+
+
+def _check_mu(fields: list[str], m: dict[str, float], u: dict[str, float]):
+    for f in fields:
+        for name, d in (("m", m), ("u", u)):
+            if f not in d:
+                raise ValueError(f"missing {name}[{f!r}]")
+            if not 0.0 < d[f] < 1.0:
+                raise ValueError(
+                    f"{name}[{f!r}] must be in (0,1), got {d[f]}"
+                )
+
+
+def fs_score(
+    pairs: DataFrame,
+    *,
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    prior: float | None = None,
+) -> DataFrame:
+    """Add per-field agreement flags and the summed log2-likelihood-ratio
+    ``match_weight`` to a ``field_pairs`` output; with ``prior`` λ, also
+    the Bayesian posterior ``match_probability``.
+
+    All weights are Python-side constants folded into codegen — the plan
+    is a single projection over the pair stream, no joins, no Python.
+    ``agree_<f>`` is null when either side is null (missing ⇒ weight 0).
+    """
+    _check_mu(fields, m, u)
+    weight = F.lit(0.0)
+    out = pairs
+    for f in fields:
+        l, r = F.col(f"l_{f}"), F.col(f"r_{f}")
+        agree = F.when(
+            l.isNotNull() & r.isNotNull(), (l == r)
+        )  # else null: missing
+        out = out.withColumn(f"agree_{f}", agree)
+        wa = math.log2(m[f] / u[f])
+        wd = math.log2((1.0 - m[f]) / (1.0 - u[f]))
+        weight = weight + F.when(
+            F.col(f"agree_{f}").isNull(), F.lit(0.0)
+        ).otherwise(
+            F.when(F.col(f"agree_{f}"), F.lit(wa)).otherwise(F.lit(wd))
+        )
+    out = out.withColumn("match_weight", weight)
+    if prior is not None:
+        if not 0.0 < prior < 1.0:
+            raise ValueError(f"prior must be in (0,1), got {prior}")
+        odds = F.lit(prior / (1.0 - prior)) * F.pow(
+            F.lit(2.0), F.col("match_weight")
+        )
+        out = out.withColumn("match_probability", odds / (odds + 1.0))
+    return out
+
+
+def fs_link(
+    df: DataFrame,
+    *,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float] | None = None,
+    threshold_weight: float,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Full probabilistic linkage arc: block → FS-score → threshold →
+    transitive clustering. Returns the ``link_records`` assignment shape
+    (id, cluster_id, cluster_size, is_representative).
+
+    ``u=None`` estimates u from the value histograms of ``df`` itself
+    (one extra scan + a ≤|fields|-row driver collect).
+    """
+    from pyspark.sql import Window
+
+    from dedupe_spark.operators.cc import partitioned_components
+
+    if u is None:
+        u = estimate_u(df, fields=fields)
+    pairs = field_pairs(
+        df,
+        id_col=id_col,
+        block_cols=block_cols,
+        fields=fields,
+        max_block=max_block,
+    )
+    edges = (
+        fs_score(pairs, fields=fields, m=m, u=u)
+        .filter(F.col("match_weight") >= threshold_weight)
+        .select("id1", "id2", *block_cols)
+    )
+    # single-pass blocking ⇒ components never cross a block (same
+    # argument as link_records): solve each block exactly in one shuffle
+    comp = partitioned_components(edges, key_cols=block_cols)
+    ids = df.select(F.col(id_col).alias("id")).filter(F.col("id").isNotNull())
+    out = ids.join(
+        comp.withColumnRenamed("file_id", "id"), "id", "left"
+    ).select("id", F.col("component").alias("cluster_id"))
+    w = Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
+    return out.select(
+        "id",
+        "cluster_id",
+        F.when(F.col("cluster_id").isNotNull(), F.count("*").over(w)).alias(
+            "cluster_size"
+        ),
+        F.when(
+            F.col("cluster_id").isNotNull(), F.col("id") == F.min("id").over(w)
+        ).alias("is_representative"),
+    )
+
+
+def agreement_patterns(
+    scored: DataFrame, *, fields: list[str]
+) -> DataFrame:
+    """Contingency table of agreement patterns: one row per distinct
+    (agree_<f>...) vector with its pair count — the sufficient statistic
+    for EM. ≤ 3^|fields| rows (agree / disagree / missing) regardless of
+    how many pairs went in; a single partial-aggregating shuffle.
+    """
+    return scored.groupBy(
+        *[F.col(f"agree_{f}") for f in fields]
+    ).agg(F.count("*").alias("n_pairs"))
+
+
+def estimate_m_u(
+    patterns: DataFrame | list,
+    *,
+    fields: list[str],
+    n_iter: int = 30,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.01,
+) -> tuple[dict[str, float], dict[str, float], float]:
+    """EM estimation of (m, u, λ) from an agreement-pattern contingency
+    table (Winkler 1988; the unsupervised core of Splink's training).
+
+    Runs driver-side on the collected pattern counts — bounded by
+    ``3^len(fields)`` rows with ``len(fields) <= 16`` enforced, so the
+    collect is a few KB however many pairs were scored. Deterministic:
+    fixed init, fixed ``n_iter``, no randomness. Missing (null) agreement
+    flags are ignored for that field's update (zero-evidence, matching
+    ``fs_score``).
+    """
+    if len(fields) > MAX_EM_FIELDS:
+        raise ValueError(
+            f"EM supports at most {MAX_EM_FIELDS} fields, got {len(fields)}"
+        )
+    if isinstance(patterns, DataFrame):
+        rows = patterns.collect()
+    else:
+        rows = patterns
+    pats = [
+        (tuple(r[f"agree_{f}"] for f in fields), float(r["n_pairs"]))
+        for r in rows
+    ]
+    if not pats:
+        raise ValueError("no agreement patterns to fit")
+    total = sum(n for _, n in pats)
+    eps = 1e-9
+    m = {f: init_m for f in fields}
+    u = {f: init_u for f in fields}
+    lam = init_lambda
+    for _ in range(n_iter):
+        # E-step: responsibility of the match class per pattern
+        resp = []
+        for pat, n in pats:
+            pm = lam
+            pu = 1.0 - lam
+            for f, a in zip(fields, pat):
+                if a is None:
+                    continue
+                pm *= m[f] if a else (1.0 - m[f])
+                pu *= u[f] if a else (1.0 - u[f])
+            g = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            resp.append((pat, n, g))
+        # M-step
+        wm = sum(n * g for _, n, g in resp)
+        lam = min(max(wm / total, eps), 1.0 - eps)
+        for i, f in enumerate(fields):
+            num_m = den_m = num_u = den_u = 0.0
+            for pat, n, g in resp:
+                a = pat[i]
+                if a is None:
+                    continue
+                den_m += n * g
+                den_u += n * (1.0 - g)
+                if a:
+                    num_m += n * g
+                    num_u += n * (1.0 - g)
+            if den_m > 0:
+                m[f] = min(max(num_m / den_m, eps), 1.0 - eps)
+            if den_u > 0:
+                u[f] = min(max(num_u / den_u, eps), 1.0 - eps)
+    return m, u, lam
+
+
+if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("input", help="parquet path of the entity table")
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--block-cols", required=True, help="comma-separated")
+    p.add_argument("--fields", required=True, help="comma-separated")
+    p.add_argument("--m", type=float, default=0.95,
+                   help="m-probability applied to every field")
+    p.add_argument("--threshold", type=float, default=4.0)
+    a = p.parse_args()
+
+    from dedupe_spark.session import get_spark
+
+    spark = get_spark(app_name="fs_link")
+    fields = a.fields.split(",")
+    fs_link(
+        spark.read.parquet(a.input),
+        id_col=a.id_col,
+        block_cols=a.block_cols.split(","),
+        fields=fields,
+        m={f: a.m for f in fields},
+        threshold_weight=a.threshold,
+    ).orderBy(F.desc("cluster_size"), "id").show(20, truncate=40)

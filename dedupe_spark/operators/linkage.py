@@ -174,6 +174,115 @@ def link_records(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    *,
+    order_cols: list[str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global rank over a total order — distributed.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses the whole table
+    into ONE task (empty partitionBy), the classic global-sort
+    scale-killer. Instead: range-partition on the order columns (ranges
+    ascend with partition id), take ``row_number`` *within* each range
+    partition, and add per-partition offsets computed from a P-row count
+    aggregate — the only global window runs over those P rows, not the
+    data. The offsets join-back is a broadcast.
+
+    ``order_cols`` must be a TOTAL order (append a unique id as the last
+    column) or ranks of tied rows are partition-placement-dependent.
+    """
+    from pyspark.sql import Window
+
+    parts = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
+    # bind the physical partition id BEFORE any further exchange: the
+    # projection materializes it at the range-exchange stage
+    withpid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = withpid.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # cumsum over <=P rows — the single-task window is over the partition
+    # COUNT table, a few dozen rows, never the data
+    offw = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(offw), F.lit(0)).alias("_off")
+    )
+    rnw = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        withpid.join(F.broadcast(offsets), "_pid")
+        .withColumn("rank", F.row_number().over(rnw) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    sort_cols: list[str],
+    window: int,
+    carry_sort_cols: bool = False,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95):
+    candidate pairs are records within ``window`` positions of each other
+    in the global sort order — O(n·w) pairs total, the linear-output
+    alternative to key blocking when near-duplicates sort adjacently
+    (typos in the key tail, sequence-numbered ids).
+
+    Pairs are produced by an **equi-join on w-sized rank buckets** (right
+    side replicated to its own and the previous bucket, so every pair
+    with rank distance 1..w-1 matches exactly once) — never an
+    inequality-predicate join, which Catalyst could only plan as a
+    cartesian. Per-row fan-out is a constant 2; output is (id1, id2,
+    rank1, rank2, rank_distance) with id1's rank strictly smaller.
+
+    The sort order is made total by appending ``id_col`` to
+    ``sort_cols``, so results are deterministic under ties.
+    ``carry_sort_cols=True`` adds ``l_<c>`` / ``r_<c>`` value columns so
+    a comparison step can score pairs without joining the source back.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    ranked = global_rank(
+        df.select(F.col(id_col).alias("_sid"), *[F.col(c) for c in sort_cols]),
+        order_cols=[*sort_cols, "_sid"],
+    )
+    bucket = F.floor((F.col("rank") - 1) / window)
+    carry = sort_cols if carry_sort_cols else []
+    left = ranked.select(
+        bucket.alias("_bk"),
+        F.col("_sid").alias("id1"),
+        F.col("rank").alias("rank1"),
+        *[F.col(c).alias(f"l_{c}") for c in carry],
+    )
+    right = ranked.select(
+        F.explode(F.array(bucket, bucket - 1)).alias("_bk"),
+        F.col("_sid").alias("id2"),
+        F.col("rank").alias("rank2"),
+        *[F.col(c).alias(f"r_{c}") for c in carry],
+    )
+    return (
+        left.join(right, "_bk")
+        .filter(
+            (F.col("rank2") - F.col("rank1")).between(1, window - 1)
+        )
+        .select(
+            "id1",
+            "id2",
+            "rank1",
+            "rank2",
+            (F.col("rank2") - F.col("rank1")).alias("rank_distance"),
+            *[F.col(f"l_{c}") for c in carry],
+            *[F.col(f"r_{c}") for c in carry],
+        )
+    )
+
+
 MERGE_RULES = ("min", "max", "longest", "mode")
 
 

@@ -3725,6 +3725,186 @@ FROM tot, cand, tru, cov
 """
 
 
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic linkage (JASA'69) — calibrated, data-driven
+# per-field evidence instead of the reference's equal-say consensus vote
+# ---------------------------------------------------------------------------
+
+_FS_FIELDS = ["seg", "bal_kb", "name_sfx"]
+
+
+def _fs_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer rows as a typed entity table: block key = nation, three
+    comparison fields of very different discriminative power (segment
+    u≈0.2, balance-bucket u≈0.09, name-suffix u≈0.009) — exactly the
+    situation where frequency-calibrated weights beat a flat vote."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kb"),
+        F.substring("c_name", -2, 2).alias("name_sfx"),
+    )
+
+
+def q_fs_u_probabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field u-probabilities (random-agreement rates) from the value
+    histograms — the data-driven half of the Fellegi–Sunter weights. One
+    scan, explode + two chained partial aggregations, zero joins."""
+    from dedupe_spark.operators.fellegi import u_probabilities
+
+    ent = _fs_entities(spark, sf_dir)
+    return (
+        u_probabilities(ent, fields=_FS_FIELDS)
+        .select(
+            "field",
+            "n",
+            "n_nonnull",
+            "n_distinct",
+            F.round("u", 6).alias("u"),
+        )
+        .orderBy("field")
+    )
+
+
+# one per-field block, UNION ALL — mirrors the engine's tagged single-scan
+SQL_FS_U_PROBABILITIES = """
+WITH recs AS (
+  SELECT c_mktsegment AS seg,
+         cast(floor(c_acctbal/1000) AS int) AS bal_kb,
+         substr(c_name, -2) AS name_sfx
+  FROM customer
+), u_of AS (
+  SELECT * FROM (
+    SELECT 'seg' AS field, count(*) AS c FROM recs
+      WHERE seg IS NOT NULL GROUP BY seg
+    UNION ALL
+    SELECT 'bal_kb', count(*) FROM recs
+      WHERE bal_kb IS NOT NULL GROUP BY bal_kb
+    UNION ALL
+    SELECT 'name_sfx', count(*) FROM recs
+      WHERE name_sfx IS NOT NULL GROUP BY name_sfx
+  )
+), n AS (SELECT count(*) AS nn FROM recs)
+SELECT field,
+       (SELECT nn FROM n) AS n,
+       sum(c) AS n_nonnull,
+       count(*) AS n_distinct,
+       round(sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0),
+             6) AS u
+FROM u_of GROUP BY field ORDER BY field
+"""
+
+
+def q_fs_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic match scoring: block customers on nation, score every
+    within-block pair with frequency-calibrated log-likelihood weights
+    (m=0.95 per field, u estimated from the data), keep pairs whose total
+    match weight clears 4 bits, and report the Bayesian posterior at a
+    1e-4 prior. The weights are folded literals — the pair stream is one
+    codegen projection with no joins and no Python."""
+    from dedupe_spark.operators.fellegi import (
+        estimate_u,
+        field_pairs,
+        fs_score,
+    )
+
+    ent = _fs_entities(spark, sf_dir)
+    u = estimate_u(ent, fields=_FS_FIELDS)
+    m = {f: 0.95 for f in _FS_FIELDS}
+    pairs = field_pairs(ent, id_col="id", block_cols=["nat"], fields=_FS_FIELDS)
+    scored = fs_score(pairs, fields=_FS_FIELDS, m=m, u=u, prior=1e-4)
+    return (
+        scored.filter(F.col("match_weight") >= 4.0)
+        .select(
+            "id1",
+            "id2",
+            F.round("match_weight", 4).alias("match_weight"),
+            F.round("match_probability", 4).alias("match_probability"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_FS_MATCH_PAIRS = """
+WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         cast(floor(c_acctbal/1000) AS int) AS bal_kb,
+         substr(c_name, -2) AS name_sfx
+  FROM customer
+), n AS (SELECT count(*) AS nn FROM recs),
+us AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE seg IS NOT NULL GROUP BY seg)),
+ub AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE bal_kb IS NOT NULL GROUP BY bal_kb)),
+un AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE name_sfx IS NOT NULL GROUP BY name_sfx)),
+scored AS (
+  SELECT a.id AS id1, b.id AS id2,
+    (CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+          WHEN a.seg = b.seg THEN log2(0.95 / (SELECT u FROM us))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM us))) END
+   + CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN 0.0
+          WHEN a.bal_kb = b.bal_kb THEN log2(0.95 / (SELECT u FROM ub))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM ub))) END
+   + CASE WHEN a.name_sfx IS NULL OR b.name_sfx IS NULL THEN 0.0
+          WHEN a.name_sfx = b.name_sfx THEN log2(0.95 / (SELECT u FROM un))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM un))) END) AS w
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.id < b.id
+  WHERE a.id IS NOT NULL AND a.nat IS NOT NULL
+)
+SELECT id1, id2, round(w, 4) AS match_weight,
+       round((1e-4/(1.0-1e-4)) * pow(2.0, w)
+             / ((1e-4/(1.0-1e-4)) * pow(2.0, w) + 1.0), 4)
+         AS match_probability
+FROM scored WHERE w >= 4.0 ORDER BY id1, id2
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95) over
+    customers ordered by name: candidate pairs within a 3-wide sliding
+    window, scored with codegen Levenshtein, kept at distance <= 1.
+    The global rank is distributed (range partition + per-partition
+    offsets) — no single-task global sort anywhere in the plan."""
+    from dedupe_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        sort_cols=["c_name"],
+        window=3,
+        carry_sort_cols=True,
+    )
+    return (
+        pairs.select(
+            "id1",
+            "id2",
+            "rank_distance",
+            F.levenshtein("l_c_name", "r_c_name").alias("distance"),
+        )
+        .filter(F.col("distance") <= 1)
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH ranked AS (
+  SELECT c_custkey AS id, c_name AS nm,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.id AS id1, b.id AS id2, b.rn - a.rn AS rank_distance,
+       levenshtein(a.nm, b.nm) AS distance
+FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2
+WHERE levenshtein(a.nm, b.nm) <= 1
+ORDER BY id1, id2
+"""
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name → (query fn, oracle SQL or None for rows-only checks)."""
     return {
@@ -3758,6 +3938,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
         "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
         "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
+        "fs_u_probabilities": (q_fs_u_probabilities, SQL_FS_U_PROBABILITIES),
+        "fs_match_pairs": (q_fs_match_pairs, SQL_FS_MATCH_PAIRS),
+        "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

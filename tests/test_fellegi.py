@@ -1,0 +1,208 @@
+"""Fellegi–Sunter probabilistic linkage: closed-form u estimation,
+weight arithmetic, missing-field zero-evidence, EM recovery on planted
+two-class data, and the full link arc on planted duplicates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.fellegi import (
+    agreement_patterns,
+    estimate_m_u,
+    estimate_u,
+    field_pairs,
+    fs_link,
+    fs_score,
+    u_probabilities,
+)
+
+
+def _tbl(spark):
+    # city: 2×a, 2×b, 1 null over n=5 → u = (1+1)/C(5,2) = 0.2
+    # seg:  3×x, 2×y             → u = (3+1)/10 = 0.4
+    rows = [
+        (1, "a", "x"),
+        (2, "a", "x"),
+        (3, "b", "x"),
+        (4, "b", "y"),
+        (5, None, "y"),
+    ]
+    return spark.createDataFrame(rows, "rid int, city string, seg string")
+
+
+def test_u_probabilities_closed_form(spark):
+    got = {
+        r["field"]: r
+        for r in u_probabilities(_tbl(spark), fields=["city", "seg"]).collect()
+    }
+    assert got["city"]["n"] == 5 and got["city"]["n_nonnull"] == 4
+    assert got["city"]["n_distinct"] == 2
+    assert got["city"]["u"] == pytest.approx(0.2)
+    assert got["seg"]["n_distinct"] == 2
+    assert got["seg"]["u"] == pytest.approx(0.4)
+
+
+def test_estimate_u_clamps_and_matches(spark):
+    u = estimate_u(_tbl(spark), fields=["city", "rid"])
+    assert u["city"] == pytest.approx(0.2)
+    # rid is all-distinct → raw u = 0, clamped into (0,1)
+    assert 0.0 < u["rid"] < 1e-6
+
+
+def test_fs_score_weights_and_missing_zero_evidence(spark):
+    df = spark.createDataFrame(
+        [(1, "B", "a", "x"), (2, "B", "a", "y"), (3, "B", None, "x")],
+        "rid int, blk string, city string, seg string",
+    )
+    m = {"city": 0.9, "seg": 0.8}
+    u = {"city": 0.2, "seg": 0.4}
+    pairs = field_pairs(
+        df, id_col="rid", block_cols=["blk"], fields=["city", "seg"]
+    )
+    scored = {
+        (r["id1"], r["id2"]): r
+        for r in fs_score(
+            pairs, fields=["city", "seg"], m=m, u=u, prior=0.5
+        ).collect()
+    }
+    assert len(scored) == 3
+    w12 = math.log2(0.9 / 0.2) + math.log2(0.2 / 0.6)
+    assert scored[(1, 2)]["match_weight"] == pytest.approx(w12)
+    # pair (1,3): city missing on one side → zero evidence, only seg votes
+    w13 = math.log2(0.8 / 0.4)
+    assert scored[(1, 3)]["match_weight"] == pytest.approx(w13)
+    assert scored[(1, 3)]["agree_city"] is None
+    # posterior via odds form at prior 0.5: p = 2^w / (1 + 2^w)
+    p13 = 2.0**w13 / (1.0 + 2.0**w13)
+    assert scored[(1, 3)]["match_probability"] == pytest.approx(p13)
+
+
+def test_fs_score_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "B", "a")], "rid int, blk string, c string")
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=["c"])
+    with pytest.raises(ValueError, match="missing"):
+        fs_score(pairs, fields=["c"], m={}, u={"c": 0.1})
+    with pytest.raises(ValueError, match="in \\(0,1\\)"):
+        fs_score(pairs, fields=["c"], m={"c": 1.0}, u={"c": 0.1})
+    with pytest.raises(ValueError, match="prior"):
+        fs_score(
+            pairs, fields=["c"], m={"c": 0.9}, u={"c": 0.1}, prior=1.5
+        )
+
+
+def test_fs_link_planted_duplicates(spark):
+    # family {1,2,3} agrees on both fields (transitively via 2);
+    # 4 is a singleton; 5/6 agree only on seg (weak, below threshold)
+    rows = [
+        (1, "B", "elm", "x"),
+        (2, "B", "elm", "x"),
+        (3, "B", "elm", "x"),
+        (4, "B", "oak", "q"),
+        (5, "B", "ash", "y"),
+        (6, "B", "fir", "y"),
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, city string, seg string")
+    m = {"city": 0.95, "seg": 0.95}
+    out = fs_link(
+        df,
+        id_col="rid",
+        block_cols=["blk"],
+        fields=["city", "seg"],
+        m=m,
+        threshold_weight=4.0,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == got[3]["cluster_id"] == 1
+    assert got[1]["cluster_size"] == 3 and got[1]["is_representative"]
+    assert not got[2]["is_representative"]
+    for rid in (4, 5, 6):
+        assert got[rid]["cluster_id"] is None
+
+
+def test_em_recovers_planted_m_u(spark):
+    # Planted generative model over THREE fields — the classic
+    # identifiability minimum for a 2-class product-Bernoulli mixture
+    # (2 fields give 3 free pattern counts vs 5 parameters; 3 fields
+    # give 7 vs 7 — Winkler 1988 fits exactly this model). Contingency
+    # counts are the exact expectations, so EM should land on the truth.
+    import itertools
+
+    m_true = {"a": 0.9, "b": 0.85, "c": 0.95}
+    u_true = {"a": 0.1, "b": 0.3, "c": 0.05}
+    lam_true = 0.1
+    n = 100000
+    rows = []
+    for pa, pb, pc in itertools.product([True, False], repeat=3):
+        cnt_m = n * lam_true
+        cnt_u = n * (1 - lam_true)
+        for f, ag in zip("abc", (pa, pb, pc)):
+            cnt_m *= m_true[f] if ag else 1 - m_true[f]
+            cnt_u *= u_true[f] if ag else 1 - u_true[f]
+        rows.append(
+            {
+                "agree_a": pa,
+                "agree_b": pb,
+                "agree_c": pc,
+                "n_pairs": cnt_m + cnt_u,
+            }
+        )
+    m, u, lam = estimate_m_u(rows, fields=["a", "b", "c"], n_iter=500)
+    for f in "abc":
+        assert m[f] == pytest.approx(m_true[f], abs=0.02), f
+        assert u[f] == pytest.approx(u_true[f], abs=0.02), f
+    assert lam == pytest.approx(lam_true, abs=0.02)
+
+
+def test_agreement_patterns_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "B", f"c{i % 2}", f"s{i % 3}") for i in range(20)],
+        "rid int, blk string, city string, seg string",
+    )
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=["city", "seg"])
+    scored = fs_score(
+        pairs, fields=["city", "seg"], m={"city": 0.9, "seg": 0.9},
+        u={"city": 0.5, "seg": 0.33},
+    )
+    pats = agreement_patterns(scored, fields=["city", "seg"]).collect()
+    assert len(pats) <= 4  # no nulls in this table
+    assert sum(r["n_pairs"] for r in pats) == 190  # C(20,2)
+
+
+def test_em_rejects_too_many_fields(spark):
+    with pytest.raises(ValueError, match="at most"):
+        estimate_m_u(
+            [], fields=[f"f{i}" for i in range(17)], n_iter=1
+        )
+
+
+def test_field_pairs_skew_guard(spark):
+    # block H has 50 rows (over cap), block S has 3 → only S pairs survive
+    rows = [(i, "H", "v") for i in range(50)] + [
+        (100, "S", "v"), (101, "S", "v"), (102, "S", "w")
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, f string")
+    pairs = field_pairs(
+        df, id_col="rid", block_cols=["blk"], fields=["f"], max_block=10
+    ).collect()
+    assert len(pairs) == 3
+    assert all(r["blk"] == "S" for r in pairs)
+
+
+def test_fs_plan_is_jvm_only(spark):
+    """Scoring must be a pure codegen projection: no Python eval, no
+    joins beyond the blocked equi-join and broadcast skew guard."""
+    df = spark.createDataFrame(
+        [(i, f"b{i % 3}", f"c{i % 4}", f"s{i % 2}") for i in range(30)],
+        "rid int, blk string, city string, seg string",
+    )
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=["city", "seg"])
+    scored = fs_score(
+        pairs, fields=["city", "seg"], m={"city": 0.9, "seg": 0.9},
+        u={"city": 0.25, "seg": 0.5}, prior=0.01,
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
