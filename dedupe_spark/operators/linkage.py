@@ -454,6 +454,106 @@ def blocking_metrics(
     )
 
 
+def clustering_agreement(
+    df: DataFrame,
+    *,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Chance-corrected agreement between two clusterings of the same
+    rows (Hubert & Arabie 1985): one row with pairwise precision /
+    recall / F1, the Rand index, and the **adjusted Rand index** —
+    the standard scorecard for judging a dedup/linkage clustering
+    against gold labels.
+
+    Everything reduces to three group-size sums — Σ C(s,2) over truth
+    groups, predicted groups, and (truth, predicted) joint cells — so
+    NO pair set is materialized: the tagged-union / single-fold pattern
+    of ``blocking_metrics``, three partial-agg scans + one global
+    aggregate, zero joins at any scale.
+
+    Null labels group together under SQL GROUP BY semantics (one
+    "null cluster" per side); pre-coalesce to row ids upstream if null
+    means "unassigned singleton". ARI is null when the index is
+    degenerate (denominator 0: both sides all-singletons or one
+    all-encompassing cluster on each side).
+    """
+
+    def tagged(cols: list[str], kind: str) -> DataFrame:
+        return (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("s"))
+            .select(F.lit(kind).alias("kind"), F.col("s").cast("double"))
+        )
+
+    sizes = (
+        tagged([truth_col], "true")
+        .unionByName(tagged([pred_col], "pred"))
+        .unionByName(tagged([truth_col, pred_col], "joint"))
+    )
+
+    def pair_sum(kind: str) -> F.Column:
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("kind") == kind, F.expr("s * (s - 1) / 2"))
+            ),
+            F.lit(0.0),
+        )
+
+    agg = sizes.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "true", F.col("s"))), F.lit(0.0)
+        )
+        .cast("bigint")
+        .alias("n_items"),
+        pair_sum("true").alias("true_pairs"),
+        pair_sum("pred").alias("pred_pairs"),
+        pair_sum("joint").alias("tp_pairs"),
+    )
+    total = F.expr("n_items * (n_items - 1) / 2")
+    expected = F.col("true_pairs") * F.col("pred_pairs") / total
+    max_index = (F.col("true_pairs") + F.col("pred_pairs")) / 2.0
+    tn = (
+        total
+        - F.col("true_pairs")
+        - F.col("pred_pairs")
+        + F.col("tp_pairs")
+    )
+    safe = lambda num, den: F.when(den > 0, F.round(num / den, 6))  # noqa: E731
+    precision = safe(F.col("tp_pairs"), F.col("pred_pairs"))
+    recall = safe(F.col("tp_pairs"), F.col("true_pairs"))
+    return agg.select(
+        "n_items",
+        "true_pairs",
+        "pred_pairs",
+        "tp_pairs",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            (F.col("pred_pairs") > 0)
+            & (F.col("true_pairs") > 0)
+            & (F.col("tp_pairs") > 0),
+            F.round(
+                2.0
+                * (F.col("tp_pairs") / F.col("pred_pairs"))
+                * (F.col("tp_pairs") / F.col("true_pairs"))
+                / (
+                    F.col("tp_pairs") / F.col("pred_pairs")
+                    + F.col("tp_pairs") / F.col("true_pairs")
+                ),
+                6,
+            ),
+        ).alias("f1"),
+        safe(F.col("tp_pairs") + tn, total).alias("rand_index"),
+        F.when(
+            (F.col("n_items") > 1) & (max_index - expected != 0),
+            F.round(
+                (F.col("tp_pairs") - expected) / (max_index - expected), 6
+            ),
+        ).alias("ari"),
+    )
+
+
 if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)
     import argparse
 

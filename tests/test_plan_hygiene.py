@@ -191,6 +191,7 @@ _ONE_ROW_BNLJ_OK = {
     "ann_recall",
     "lm_score",
     "temperature_sample",
+    "meta_blocking",  # WEP threshold: 1-row mean broadcast over the edges
     # not a 1-row total but still intentional: brute-force exact top-k IS
     # all-pairs by definition — the tiny query side broadcasts against one
     # corpus scan; ann_topk / ivf_topk are the bounded scale path.
