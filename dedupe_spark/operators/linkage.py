@@ -121,6 +121,32 @@ def score_pairs(
     ).filter(F.col("distance").between(0, max_distance))
 
 
+def score_pairs_jw(
+    pairs: DataFrame,
+    *,
+    min_similarity: float,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Jaro–Winkler-score candidate pairs, keep edges at or above the
+    similarity floor. The ER-standard comparator for name fields
+    (Winkler 1990); Arrow-batched pandas UDF since Spark has no built-in
+    JW expression — see :mod:`dedupe_spark.functions.strsim` for the
+    pinned DuckDB-compatible semantics. Null values score null and are
+    dropped by the floor filter."""
+    from dedupe_spark.functions.strsim import jaro_winkler_udf
+
+    if not 0.0 < min_similarity <= 1.0:
+        raise ValueError(
+            f"min_similarity must be in (0,1], got {min_similarity}"
+        )
+    return pairs.select(
+        "id1",
+        "id2",
+        jaro_winkler_udf("left_val", "right_val").alias("similarity"),
+        *(carry or []),
+    ).filter(F.col("similarity") >= min_similarity)
+
+
 def link_records(
     df: DataFrame,
     *,

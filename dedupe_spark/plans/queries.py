@@ -3905,6 +3905,101 @@ ORDER BY id1, id2
 """
 
 
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro–Winkler name matching (Winkler 1990, the ER-standard name
+    comparator) over blocked customers: same (nation, segment) blocking
+    as record_linkage, Arrow-batched JW scoring, 0.96 floor. Value-level
+    oracle against DuckDB's jaro_winkler_similarity — the Python and
+    C++ implementations agree bit-for-bit on the pinned semantics."""
+    from dedupe_spark.operators.linkage import (
+        candidate_pairs,
+        score_pairs_jw,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = candidate_pairs(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        compare_col="c_name",
+    )
+    return (
+        score_pairs_jw(pairs, min_similarity=0.96)
+        .select("id1", "id2", F.round("similarity", 4).alias("similarity"))
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_JARO_WINKLER_PAIRS = """
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS similarity
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+  AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.96
+ORDER BY id1, id2
+"""
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking census (Soundex-family, Odell & Russell 1918;
+    Christen ch. 4): block part names on a simplified-Soundex key
+    computed by a pure-codegen regex cascade (no UDF), count block
+    sizes and distinct spellings per block — phonetically-confusable
+    name variants land in the same block, the classic defense against
+    typo'd entity names that exact blocking misses."""
+    from dedupe_spark.functions.strsim import phonetic_key
+
+    part = _t(spark, sf_dir, "part")
+    words = part.filter(F.col("p_name").isNotNull()).select(
+        F.split(F.col("p_name"), " ").getItem(0).alias("w")
+    )
+    return (
+        words.select("w", phonetic_key(F.col("w")).alias("pkey"))
+        .filter(F.col("pkey").isNotNull())
+        .groupBy("pkey")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("w").alias("n_words"),
+            F.min("w").alias("sample_word"),
+        )
+        .orderBy("pkey")
+    )
+
+
+SQL_PHONETIC_BLOCKING = """
+WITH words AS (
+  SELECT split_part(p_name, ' ', 1) AS w FROM part WHERE p_name IS NOT NULL
+), based AS (
+  SELECT w, lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS b FROM words
+), digited AS (
+  SELECT w, b,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+           translate(b, 'abcdefghijklmnopqrstuvwxyz',
+                        '01230120022455012623010202'),
+           '0{2,}', '0', 'g'), '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+           '3{2,}', '3', 'g'), '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+           '6{2,}', '6', 'g') AS d
+  FROM based
+), keyed AS (
+  SELECT w,
+         CASE WHEN b <> '' THEN
+           upper(substr(b, 1, 1))
+           || rpad(substr(regexp_replace(substr(d, 2), '0', '', 'g'), 1, 3),
+                   3, '0')
+         END AS pkey
+  FROM digited
+)
+SELECT pkey, count(*) AS n_parts, count(DISTINCT w) AS n_words,
+       min(w) AS sample_word
+FROM keyed WHERE pkey IS NOT NULL
+GROUP BY pkey ORDER BY pkey
+"""
+
+
 def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (Papadakis TKDE'13): bigram token blocks (df-capped)
     → CBS blocking-graph edges → weighted-edge pruning at the global mean.
@@ -4049,6 +4144,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
         "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
         "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
+        "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
+        "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),
