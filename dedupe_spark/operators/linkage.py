@@ -309,6 +309,122 @@ def sorted_neighborhood_pairs(
     )
 
 
+def link_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    existing_assign: DataFrame,
+    *,
+    id_col: str,
+    block_cols: list[str],
+    compare_col: str,
+    max_distance: int = 2,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Incrementally extend a :func:`link_records` result with a batch of
+    new records — cost scales with the BATCH and the clusters it
+    touches, not the corpus.
+
+    Only new-vs-all pairs are generated (block equi-join of the batch
+    against old ∪ new); prior clusters enter connected components as
+    **star edges** ``(cluster_id, member)`` derived from
+    ``existing_assign``, which preserve exactly the old connectivity —
+    ``closure(star(old) ∪ new_edges) = closure(old_edges ∪ new_edges)``
+    — so the result equals a one-shot ``link_records`` over the union
+    (asserted by the two-batch == one-shot test). The CC input is
+    labels-sized + batch-sized, never corpus-pairs-sized.
+
+    Batch rows whose id already exists in ``old_df`` are dropped first
+    (idempotent re-submission). The skew cap is enforced on the UNION's
+    block census, matching the one-shot guard for blocks under the cap;
+    a block that crosses the cap only via the batch suppresses NEW
+    pairing there, while clusters already formed stand — linkage is
+    monotone (clusters never unmerge), the production-ER convention.
+    """
+    from dedupe_spark.operators.cc import connected_components
+
+    old_ids = old_df.select(F.col(id_col).alias("_oid"))
+    batch = new_df.join(
+        old_ids, new_df[id_col] == F.col("_oid"), "left_anti"
+    )
+
+    def keyed(df: DataFrame, is_new: bool) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias("_rid"),
+            F.col(compare_col).alias("_val"),
+            *[F.col(c) for c in block_cols],
+            F.lit(is_new).alias("_is_new"),
+        ).filter(F.col("_rid").isNotNull() & F.col("_val").isNotNull())
+        for c in block_cols:
+            out = out.filter(F.col(c).isNotNull())
+        return out
+
+    aug = keyed(old_df, False).unionByName(keyed(batch, True))
+    if max_block is not None:
+        hot = (
+            aug.groupBy(*block_cols)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select(*block_cols)
+        )
+        aug = aug.join(F.broadcast(hot), block_cols, "left_anti")
+
+    left = aug.filter(F.col("_is_new")).select(
+        *[F.col(c) for c in block_cols],
+        F.col("_rid").alias("_lid"),
+        F.col("_val").alias("left_val"),
+    )
+    right = aug.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_rid").alias("_rrid"),
+        F.col("_val").alias("right_val"),
+        "_is_new",
+    )
+    # new-vs-old: every pair once (left is new, right old). new-vs-new:
+    # orient by id so the pair appears exactly once.
+    pairs = (
+        left.join(right, block_cols)
+        .filter(
+            (~F.col("_is_new") & (F.col("_lid") != F.col("_rrid")))
+            | (F.col("_is_new") & (F.col("_lid") < F.col("_rrid")))
+        )
+        .select(
+            F.least("_lid", "_rrid").alias("id1"),
+            F.greatest("_lid", "_rrid").alias("id2"),
+            "left_val",
+            "right_val",
+        )
+    )
+    new_edges = score_pairs(pairs, max_distance=max_distance).select(
+        "id1", "id2"
+    )
+    star = (
+        existing_assign.filter(F.col("cluster_id").isNotNull())
+        .filter(F.col("cluster_id") != F.col("id"))
+        .select(F.col("cluster_id").alias("id1"), F.col("id").alias("id2"))
+    )
+    comp = connected_components(star.unionByName(new_edges))
+
+    ids = (
+        old_df.select(F.col(id_col).alias("id"))
+        .unionByName(batch.select(F.col(id_col).alias("id")))
+        .filter(F.col("id").isNotNull())
+    )
+    out = ids.join(
+        comp.withColumnRenamed("file_id", "id"), "id", "left"
+    ).select("id", F.col("component").alias("cluster_id"))
+    w = Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
+    return out.select(
+        "id",
+        "cluster_id",
+        F.when(F.col("cluster_id").isNotNull(), F.count("*").over(w)).alias(
+            "cluster_size"
+        ),
+        F.when(
+            F.col("cluster_id").isNotNull(), F.col("id") == F.min("id").over(w)
+        ).alias("is_representative"),
+    )
+
+
 MERGE_RULES = ("min", "max", "longest", "mode")
 
 

@@ -3905,6 +3905,29 @@ ORDER BY id1, id2
 """
 
 
+def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage equivalence, value-oracled: link 90% of the
+    customers, then extend with the remaining 10% via
+    ``link_incremental`` (batch-vs-all pairs + star edges from the prior
+    assignment). The oracle is the ONE-SHOT recursive-CTE twin over the
+    union — closure(star(old) ∪ new_edges) = closure(all edges), so the
+    incremental path must reproduce it exactly, which turns the
+    incremental machinery itself into an oracled query."""
+    from dedupe_spark.operators.linkage import link_incremental, link_records
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 0)
+    batch = cust.filter(F.col("c_custkey") % 10 == 0)
+    kw = dict(
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        compare_col="c_name",
+        max_distance=2,
+    )
+    prior = link_records(old, **kw)
+    return link_incremental(old, batch, prior, **kw).orderBy("id")
+
+
 def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro–Winkler name matching (Winkler 1990, the ER-standard name
     comparator) over blocked customers: same (nation, segment) blocking
@@ -4146,6 +4169,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
         "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
         "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
+        # oracle = the ONE-SHOT twin: incremental must equal it exactly
+        "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

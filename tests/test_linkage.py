@@ -257,3 +257,74 @@ def test_linkage_plan_is_jvm_only(spark):
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_link_incremental_equals_one_shot(spark):
+    from dedupe_spark.operators.linkage import link_incremental
+
+    old_rows = [
+        (1, "A", "jonathan smith"),
+        (2, "A", "jonathon smith"),
+        (4, "A", "maria garcia"),
+        (7, "B", "zz top"),
+    ]
+    new_rows = [
+        (3, "A", "jonathan smyth"),   # joins cluster {1,2}
+        (5, "A", "mariah garcia"),    # joins 4
+        (8, "B", "aa bottom"),        # singleton
+    ]
+    schema = "rid int, blk string, name string"
+    old_df = spark.createDataFrame(old_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+    kw = dict(id_col="rid", block_cols=["blk"], compare_col="name",
+              max_distance=2)
+    prior = link_records(old_df, **kw)
+    inc = link_incremental(old_df, new_df, prior, **kw)
+    one_shot = link_records(old_df.unionByName(new_df), **kw)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_link_incremental_bridges_two_old_clusters(spark):
+    from dedupe_spark.operators.linkage import link_incremental
+
+    # two separate old clusters {1,2} and {5,6}; the new record 9 is
+    # within distance of BOTH -> everything must merge transitively
+    old_rows = [
+        (1, "A", "aaaa"),
+        (2, "A", "aaab"),
+        (5, "A", "aadd"),
+        (6, "A", "aade"),
+    ]
+    new_rows = [(9, "A", "aabd")]  # lev 2 to aaab AND to aadd
+    schema = "rid int, blk string, name string"
+    old_df = spark.createDataFrame(old_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+    kw = dict(id_col="rid", block_cols=["blk"], compare_col="name",
+              max_distance=2)
+    prior = link_records(old_df, **kw)
+    got = {r["id"]: r for r in
+           link_incremental(old_df, new_df, prior, **kw).collect()}
+    assert {got[i]["cluster_id"] for i in (1, 2, 5, 6, 9)} == {1}
+    assert got[1]["cluster_size"] == 5
+    one_shot = {r["id"]: r["cluster_id"] for r in
+                link_records(old_df.unionByName(new_df), **kw).collect()}
+    assert all(one_shot[i] == 1 for i in (1, 2, 5, 6, 9))
+
+
+def test_link_incremental_resubmission_is_idempotent(spark):
+    from dedupe_spark.operators.linkage import link_incremental
+
+    schema = "rid int, blk string, name string"
+    old_df = spark.createDataFrame(
+        [(1, "A", "aaaa"), (2, "A", "aaab")], schema
+    )
+    kw = dict(id_col="rid", block_cols=["blk"], compare_col="name",
+              max_distance=2)
+    prior = link_records(old_df, **kw)
+    # the "new" batch contains only rows that already exist
+    again = link_incremental(old_df, old_df, prior, **kw)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, prior.collect())
+    )
