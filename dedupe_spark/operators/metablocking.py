@@ -108,6 +108,13 @@ def weighted_edge_pruning(
     (Papadakis TKDE'13 §4.2). The mean is a 1-row aggregate broadcast
     over the edge stream — a BroadcastNestedLoopJoin of exactly one row,
     the allowlisted scan_warnings shape, never a global window."""
+    # the mean and the filter both consume the full edge table; without a
+    # materialization point Spark recomputes blocks+join+groupBy once per
+    # branch (measured 2× the whole query cost at sf0.1). localCheckpoint
+    # (lazy) truncates lineage at first use so both branches share ONE
+    # materialization, and the backing RDD is GC-cleaned — no persist
+    # lifecycle to leak.
+    edges = edges.localCheckpoint(eager=False)
     mean = edges.agg(F.avg(weight_col).alias("_mean_w"))
     return (
         edges.crossJoin(F.broadcast(mean))
