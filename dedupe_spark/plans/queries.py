@@ -3905,6 +3905,77 @@ ORDER BY id1, id2
 """
 
 
+def q_fs_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Fellegi–Sunter arc: block on nation, score with
+    frequency-calibrated weights (u from the data), threshold at 4 bits,
+    cluster transitively, emit link_records-shaped assignments. The
+    DuckDB twin recomputes u, the weights, and the closure via a
+    recursive CTE — a value-level oracle over the WHOLE probabilistic
+    pipeline, not just the scoring stage."""
+    from dedupe_spark.operators.fellegi import fs_link
+
+    ent = _fs_entities(spark, sf_dir)
+    m = {f: 0.95 for f in _FS_FIELDS}
+    return fs_link(
+        ent,
+        id_col="id",
+        block_cols=["nat"],
+        fields=_FS_FIELDS,
+        m=m,
+        threshold_weight=4.0,
+    ).orderBy("id")
+
+
+SQL_FS_LINK = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         cast(floor(c_acctbal/1000) AS int) AS bal_kb,
+         substr(c_name, -2) AS name_sfx
+  FROM customer
+), n AS (SELECT count(*) AS nn FROM recs),
+us AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE seg IS NOT NULL GROUP BY seg)),
+ub AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE bal_kb IS NOT NULL GROUP BY bal_kb)),
+un AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE name_sfx IS NOT NULL GROUP BY name_sfx)),
+edges AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.id < b.id
+  WHERE a.id IS NOT NULL AND a.nat IS NOT NULL
+    AND (CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+              WHEN a.seg = b.seg THEN log2(0.95 / (SELECT u FROM us))
+              ELSE log2(0.05 / (1.0 - (SELECT u FROM us))) END
+       + CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN 0.0
+              WHEN a.bal_kb = b.bal_kb THEN log2(0.95 / (SELECT u FROM ub))
+              ELSE log2(0.05 / (1.0 - (SELECT u FROM ub))) END
+       + CASE WHEN a.name_sfx IS NULL OR b.name_sfx IS NULL THEN 0.0
+              WHEN a.name_sfx = b.name_sfx THEN log2(0.95 / (SELECT u FROM un))
+              ELSE log2(0.05 / (1.0 - (SELECT u FROM un))) END) >= 4.0
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM edges
+  UNION ALL SELECT id2, id1 FROM edges
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT r.id, comp.cluster_id, sized.cluster_size,
+       CASE WHEN comp.cluster_id IS NULL THEN NULL
+            ELSE r.id = comp.cluster_id END AS is_representative
+FROM recs r
+LEFT JOIN comp ON comp.id = r.id
+LEFT JOIN sized ON sized.cluster_id = comp.cluster_id
+WHERE r.id IS NOT NULL
+ORDER BY r.id
+"""
+
+
 def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental linkage equivalence, value-oracled: link 90% of the
     customers, then extend with the remaining 10% via
@@ -4171,6 +4242,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
         # oracle = the ONE-SHOT twin: incremental must equal it exactly
         "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
+        "fs_link": (q_fs_link, SQL_FS_LINK),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

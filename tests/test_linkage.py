@@ -328,3 +328,20 @@ def test_link_incremental_resubmission_is_idempotent(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, prior.collect())
     )
+
+
+def test_link_incremental_no_links_anywhere(spark):
+    from dedupe_spark.operators.linkage import link_incremental
+
+    schema = "rid int, blk string, name string"
+    old_df = spark.createDataFrame(
+        [(1, "A", "aaaaaaaa"), (2, "B", "zzzzzzzz")], schema
+    )
+    new_df = spark.createDataFrame([(3, "C", "qqqqqqqq")], schema)
+    kw = dict(id_col="rid", block_cols=["blk"], compare_col="name",
+              max_distance=1)
+    prior = link_records(old_df, **kw)  # all singletons -> no star edges
+    got = {r["id"]: r for r in
+           link_incremental(old_df, new_df, prior, **kw).collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(got[i]["cluster_id"] is None for i in got)

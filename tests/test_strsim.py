@@ -107,3 +107,41 @@ def test_phonetic_key_classic_soundex_cases(spark):
     assert got[4] == "S540"
     assert got[5] is None and got[6] is None and got[7] is None
     assert got[8] == "P236"  # first-letter run merged (pf -> P2..)
+
+
+def test_vectorized_batch_equals_scalar_on_random_strings():
+    import random
+
+    import numpy as np
+
+    from dedupe_spark.functions.strsim import _jw_batch
+
+    rng = random.Random(42)
+    alpha = "abcdexyz #0189"
+    pairs = []
+    for _ in range(500):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        pairs.append(
+            ("".join(rng.choice(alpha) for _ in range(n1)),
+             "".join(rng.choice(alpha) for _ in range(n2)))
+        )
+    # adversarial shapes: long common prefixes, transposition soup, pads
+    pairs += [("aaaaaaaaaaaa", "aaaaaaaaaaab"), ("abcdefgh", "badcfehg"),
+              ("abcd", "abcdxxxxxxxxxxxxxxxx"), ("", ""), ("", "abc")]
+    left = np.array([p[0] for p in pairs], dtype=object)
+    right = np.array([p[1] for p in pairs], dtype=object)
+    got = _jw_batch(left, right)
+    for k, (s1, s2) in enumerate(pairs):
+        assert got[k] == pytest.approx(jaro_winkler(s1, s2), abs=1e-12), (
+            s1, s2, got[k], jaro_winkler(s1, s2)
+        )
+
+
+def test_vectorized_batch_all_empty():
+    import numpy as np
+
+    from dedupe_spark.functions.strsim import _jw_batch
+
+    out = _jw_batch(np.array(["", ""], dtype=object),
+                    np.array(["", "x"], dtype=object))
+    assert list(out) == [0.0, 0.0]
