@@ -4094,6 +4094,76 @@ GROUP BY pkey ORDER BY pkey
 """
 
 
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin / Vernica SIGMOD'10):
+    LOSSLESS Jaccard-join via rarest-first prefix indexing. Runs on a
+    planted family corpus derived from doc_id (10 shared + 1 member
+    token per doc → within-family Jaccard 10/12 ≈ 0.833), because the
+    synthetic documents table's ~30-word vocabulary is the prefix
+    filter's worst case (every token hot) — the planted corpus has the
+    long-tail df distribution the filter exploits, like real text."""
+    from dedupe_spark.operators.ppjoin import prefix_filtered_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    fam = F.floor(did / 10)
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(F.lit("t"), (fam * 20 + j).cast("string")),
+    )
+    member = F.concat(
+        F.lit("t"), (fam * 20 + 10 + did % 10).cast("string")
+    )
+    planted = docs.select(
+        did.alias("id"),
+        F.array_join(F.concat(base, F.array(member)), " ").alias("text"),
+    )
+    return prefix_filtered_jaccard_pairs(
+        planted, id_col="id", text_col="text", threshold=0.8
+    ).orderBy("id1", "id2")
+
+
+SQL_PPJOIN_PAIRS = """
+WITH planted AS (
+  SELECT cast(doc_id AS bigint) AS id,
+         list_append(
+           list_transform(range(0, 10),
+             j -> 't' || cast((doc_id // 10) * 20 + j AS varchar)),
+           't' || cast((doc_id // 10) * 20 + 10 + doc_id % 10 AS varchar)
+         ) AS toks
+  FROM documents
+), tok AS (
+  SELECT DISTINCT id, unnest(toks) AS token FROM planted
+), vocab AS (
+  SELECT token, count(*) AS df FROM tok GROUP BY token
+), ranked AS (
+  SELECT token, row_number() OVER (ORDER BY df, token) AS rnk FROM vocab
+), rt AS (
+  SELECT t.id, r.rnk FROM tok t JOIN ranked r USING (token)
+), sets AS (
+  SELECT id, list_sort(list(rnk)) AS ranks, count(*) AS n
+  FROM rt GROUP BY id
+), prefix AS (
+  SELECT id, unnest(ranks[1 : (n - cast(ceil(0.8 * n) AS bigint) + 1)]) AS rnk
+  FROM sets
+), cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM prefix a JOIN prefix b USING (rnk) WHERE a.id < b.id
+), verified AS (
+  SELECT c.id1, c.id2, s1.n AS n1, s2.n AS n2,
+         len(list_intersect(s1.ranks, s2.ranks)) AS overlap
+  FROM cand c
+  JOIN sets s1 ON s1.id = c.id1
+  JOIN sets s2 ON s2.id = c.id2
+)
+SELECT id1, id2, n1, n2, overlap,
+       round(overlap / (n1 + n2 - overlap), 6) AS jaccard
+FROM verified
+WHERE round(overlap / (n1 + n2 - overlap), 6) >= 0.8
+ORDER BY id1, id2
+"""
+
+
 def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (Papadakis TKDE'13): bigram token blocks (df-capped)
     → CBS blocking-graph edges → weighted-edge pruning at the global mean.
@@ -4238,6 +4308,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
         "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
         "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
+        "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
         "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
         "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
         # oracle = the ONE-SHOT twin: incremental must equal it exactly
