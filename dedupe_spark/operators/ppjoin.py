@@ -105,12 +105,19 @@ def prefix_filtered_jaccard_pairs(
         + F.lit(1)
     )
     prefix = sets.select(
-        "id", F.explode(F.slice("ranks", 1, p)).alias("rank")
+        "id", "n", F.explode(F.slice("ranks", 1, p)).alias("rank")
     )
+    # length filter (SSJoin): J >= t forces t·max(n1,n2) <= min(n1,n2),
+    # so size-incompatible candidates die inside the join before the
+    # distinct/verify stages ever see them
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "rank")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(threshold) * F.col("b.n")))
+        )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
