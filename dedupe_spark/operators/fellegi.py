@@ -128,6 +128,22 @@ def estimate_u(df: DataFrame, *, fields: list[str]) -> dict[str, float]:
     return {r["field"]: min(max(float(r["u"]), eps), 1.0 - eps) for r in rows}
 
 
+def value_frequencies(df: DataFrame, *, field: str) -> DataFrame:
+    """(val, tf) term-frequency table for one field: tf = share of
+    non-null rows carrying the value. The normalizing total is a 1-row
+    aggregate broadcast over the VOCABULARY-sized count table (never the
+    record stream), the scan_warnings pattern."""
+    counts = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("val"))
+        .agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("_tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "val", (F.col("c") / F.col("_tot")).alias("tf")
+    )
+
+
 def field_pairs(
     df: DataFrame,
     *,
@@ -135,6 +151,7 @@ def field_pairs(
     block_cols: list[str],
     fields: list[str],
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    tf_fields: list[str] | None = None,
 ) -> DataFrame:
     """Within-block candidate pairs carrying every comparison field on
     both sides: (id1, id2, l_<f>, r_<f>..., *block_cols), id1 < id2.
@@ -145,7 +162,16 @@ def field_pairs(
     Unlike the single-field variant, null comparison values do NOT drop
     the row — Fellegi–Sunter treats missing fields as zero-evidence, so
     a record with one null attribute must still pair on the others.
+
+    ``tf_fields`` (⊆ fields) additionally carries each record's own
+    value term-frequency as ``l_tf_<f>`` / ``r_tf_<f>`` (null for null
+    values) — one vocabulary-sized join per TF field on the RECORD
+    stream, so the per-pair cost of term-frequency adjustment is zero.
     """
+    tf_fields = tf_fields or []
+    unknown = set(tf_fields) - set(fields)
+    if unknown:
+        raise ValueError(f"tf_fields not in fields: {sorted(unknown)}")
     keyed = df.select(
         F.col(id_col).alias("_rid"),
         *[F.col(c) for c in block_cols],
@@ -155,6 +181,11 @@ def field_pairs(
     # drop them anyway); make it explicit so the census doesn't count them
     for c in block_cols:
         keyed = keyed.filter(F.col(c).isNotNull())
+    for f in tf_fields:
+        vf = value_frequencies(df, field=f).withColumnsRenamed(
+            {"val": f"_v_{f}", "tf": f"_tf_{f}"}
+        )
+        keyed = keyed.join(vf, f"_v_{f}", "left")
 
     if max_block is not None:
         hot = (
@@ -169,17 +200,21 @@ def field_pairs(
         *[F.col(c) for c in block_cols],
         F.col("_rid").alias("id1"),
         *[F.col(f"_v_{f}").alias(f"l_{f}") for f in fields],
+        *[F.col(f"_tf_{f}").alias(f"l_tf_{f}") for f in tf_fields],
     )
     b = keyed.select(
         *[F.col(c) for c in block_cols],
         F.col("_rid").alias("id2"),
         *[F.col(f"_v_{f}").alias(f"r_{f}") for f in fields],
+        *[F.col(f"_tf_{f}").alias(f"r_tf_{f}") for f in tf_fields],
     )
     return a.join(b, block_cols).filter(F.col("id1") < F.col("id2")).select(
         "id1",
         "id2",
         *[F.col(f"l_{f}") for f in fields],
         *[F.col(f"r_{f}") for f in fields],
+        *[F.col(f"l_tf_{f}") for f in tf_fields],
+        *[F.col(f"r_tf_{f}") for f in tf_fields],
         *block_cols,
     )
 
@@ -202,6 +237,7 @@ def fs_score(
     m: dict[str, float],
     u: dict[str, float],
     prior: float | None = None,
+    tf_fields: list[str] | None = None,
 ) -> DataFrame:
     """Add per-field agreement flags and the summed log2-likelihood-ratio
     ``match_weight`` to a ``field_pairs`` output; with ``prior`` λ, also
@@ -210,8 +246,22 @@ def fs_score(
     All weights are Python-side constants folded into codegen — the plan
     is a single projection over the pair stream, no joins, no Python.
     ``agree_<f>`` is null when either side is null (missing ⇒ weight 0).
+
+    ``tf_fields`` enables Splink-style **term-frequency adjustment**:
+    on agreement the field-level ``u`` is replaced by the shared value's
+    own term frequency (the probability a random record agrees with
+    THIS value), so agreeing on a rare value earns more evidence than
+    agreeing on a common one — ``log2(m / tf_v)`` instead of
+    ``log2(m / u)``. Disagreement keeps the field-level weight (no
+    single value to condition on). Requires the pairs to carry
+    ``l_tf_<f>`` (``field_pairs(tf_fields=...)``); tf is clamped below
+    at 1e-9 like u.
     """
     _check_mu(fields, m, u)
+    tf_fields = set(tf_fields or [])
+    unknown = tf_fields - set(fields)
+    if unknown:
+        raise ValueError(f"tf_fields not in fields: {sorted(unknown)}")
     weight = F.lit(0.0)
     out = pairs
     for f in fields:
@@ -220,13 +270,18 @@ def fs_score(
             l.isNotNull() & r.isNotNull(), (l == r)
         )  # else null: missing
         out = out.withColumn(f"agree_{f}", agree)
-        wa = math.log2(m[f] / u[f])
-        wd = math.log2((1.0 - m[f]) / (1.0 - u[f]))
+        if f in tf_fields:
+            # l_tf == r_tf on agreement (same value, same table)
+            wa = F.log2(
+                F.lit(m[f])
+                / F.greatest(F.col(f"l_tf_{f}"), F.lit(1e-9))
+            )
+        else:
+            wa = F.lit(math.log2(m[f] / u[f]))
+        wd = F.lit(math.log2((1.0 - m[f]) / (1.0 - u[f])))
         weight = weight + F.when(
             F.col(f"agree_{f}").isNull(), F.lit(0.0)
-        ).otherwise(
-            F.when(F.col(f"agree_{f}"), F.lit(wa)).otherwise(F.lit(wd))
-        )
+        ).otherwise(F.when(F.col(f"agree_{f}"), wa).otherwise(wd))
     out = out.withColumn("match_weight", weight)
     if prior is not None:
         if not 0.0 < prior < 1.0:

@@ -3905,6 +3905,82 @@ ORDER BY id1, id2
 """
 
 
+def q_fs_tf_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-adjusted Fellegi–Sunter scoring (Splink's
+    tf_adjustments): agreeing on a RARE name-suffix earns more weight
+    than agreeing on a common one — the value's own term frequency
+    replaces the field-level u on agreement. The tf ride-along is one
+    vocabulary-sized join on the record stream; the pair stream stays a
+    pure codegen projection."""
+    from dedupe_spark.operators.fellegi import (
+        estimate_u,
+        field_pairs,
+        fs_score,
+    )
+
+    ent = _fs_entities(spark, sf_dir)
+    u = estimate_u(ent, fields=_FS_FIELDS)
+    m = {f: 0.95 for f in _FS_FIELDS}
+    pairs = field_pairs(
+        ent,
+        id_col="id",
+        block_cols=["nat"],
+        fields=_FS_FIELDS,
+        tf_fields=["name_sfx"],
+    )
+    scored = fs_score(
+        pairs, fields=_FS_FIELDS, m=m, u=u, tf_fields=["name_sfx"]
+    )
+    return (
+        scored.filter(F.col("match_weight") >= 4.0)
+        .select(
+            "id1",
+            "id2",
+            F.round("match_weight", 4).alias("match_weight"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_FS_TF_MATCH_PAIRS = """
+WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         cast(floor(c_acctbal/1000) AS int) AS bal_kb,
+         substr(c_name, -2) AS name_sfx
+  FROM customer
+), n AS (SELECT count(*) AS nn FROM recs),
+us AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE seg IS NOT NULL GROUP BY seg)),
+ub AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE bal_kb IS NOT NULL GROUP BY bal_kb)),
+un AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE name_sfx IS NOT NULL GROUP BY name_sfx)),
+fv AS (
+  SELECT name_sfx AS val,
+         count(*) * 1.0
+           / (SELECT count(*) FROM recs WHERE name_sfx IS NOT NULL) AS tf
+  FROM recs WHERE name_sfx IS NOT NULL GROUP BY name_sfx
+), scored AS (
+  SELECT a.id AS id1, b.id AS id2,
+    (CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+          WHEN a.seg = b.seg THEN log2(0.95 / (SELECT u FROM us))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM us))) END
+   + CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN 0.0
+          WHEN a.bal_kb = b.bal_kb THEN log2(0.95 / (SELECT u FROM ub))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM ub))) END
+   + CASE WHEN a.name_sfx IS NULL OR b.name_sfx IS NULL THEN 0.0
+          WHEN a.name_sfx = b.name_sfx THEN log2(0.95 / greatest(fv.tf, 1e-9))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM un))) END) AS w
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.id < b.id
+  LEFT JOIN fv ON fv.val = a.name_sfx
+  WHERE a.id IS NOT NULL AND a.nat IS NOT NULL
+)
+SELECT id1, id2, round(w, 4) AS match_weight
+FROM scored WHERE w >= 4.0 ORDER BY id1, id2
+"""
+
+
 def q_fs_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Fellegi–Sunter arc: block on nation, score with
     frequency-calibrated weights (u from the data), threshold at 4 bits,
@@ -4314,6 +4390,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # oracle = the ONE-SHOT twin: incremental must equal it exactly
         "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
         "fs_link": (q_fs_link, SQL_FS_LINK),
+        "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

@@ -206,3 +206,42 @@ def test_fs_plan_is_jvm_only(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_tf_adjustment_rare_value_outweighs_common(spark):
+    # value "zz" appears once-ish, "aa" dominates: agreeing on zz must
+    # earn strictly more weight than agreeing on aa
+    rows = (
+        [(i, "B", "aa") for i in range(8)]
+        + [(100, "B", "zz"), (101, "B", "zz")]
+    )
+    df = spark.createDataFrame(rows, "rid int, blk string, sfx string")
+    pairs = field_pairs(
+        df, id_col="rid", block_cols=["blk"], fields=["sfx"],
+        tf_fields=["sfx"],
+    )
+    scored = fs_score(
+        pairs, fields=["sfx"], m={"sfx": 0.9}, u={"sfx": 0.5},
+        tf_fields=["sfx"],
+    )
+    got = {(r["id1"], r["id2"]): r["match_weight"] for r in scored.collect()}
+    import math
+    w_zz = math.log2(0.9 / (2 / 10))
+    w_aa = math.log2(0.9 / (8 / 10))
+    assert got[(100, 101)] == pytest.approx(w_zz)
+    assert got[(0, 1)] == pytest.approx(w_aa)
+    assert got[(100, 101)] > got[(0, 1)]
+    # disagreement still uses the field-level u
+    w_dis = math.log2(0.1 / 0.5)
+    assert got[(0, 100)] == pytest.approx(w_dis)
+
+
+def test_tf_fields_must_be_subset(spark):
+    df = spark.createDataFrame([(1, "B", "a")], "rid int, blk string, f string")
+    with pytest.raises(ValueError, match="tf_fields"):
+        field_pairs(df, id_col="rid", block_cols=["blk"], fields=["f"],
+                    tf_fields=["nope"])
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=["f"])
+    with pytest.raises(ValueError, match="tf_fields"):
+        fs_score(pairs, fields=["f"], m={"f": 0.9}, u={"f": 0.1},
+                 tf_fields=["nope"])
