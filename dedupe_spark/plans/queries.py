@@ -3981,6 +3981,156 @@ FROM scored WHERE w >= 4.0 ORDER BY id1, id2
 """
 
 
+def q_fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Fellegi–Sunter decision: pairs whose evidence lands
+    BETWEEN the link and non-link thresholds go to clerical review
+    (JASA'69's possible-link region). Band [1, 4) bits over the blocked
+    customer pairs — the queue a human (or an expensive model) would
+    adjudicate, ordered most-suspicious-first in the real UI but by key
+    here for the deterministic oracle."""
+    from dedupe_spark.operators.fellegi import (
+        estimate_u,
+        field_pairs,
+        fs_score,
+    )
+
+    ent = _fs_entities(spark, sf_dir)
+    u = estimate_u(ent, fields=_FS_FIELDS)
+    m = {f: 0.95 for f in _FS_FIELDS}
+    pairs = field_pairs(ent, id_col="id", block_cols=["nat"], fields=_FS_FIELDS)
+    scored = fs_score(pairs, fields=_FS_FIELDS, m=m, u=u)
+    return (
+        scored.filter(
+            (F.col("match_weight") >= 1.0) & (F.col("match_weight") < 4.0)
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round("match_weight", 4).alias("match_weight"),
+            "agree_seg",
+            "agree_bal_kb",
+            "agree_name_sfx",
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_FS_REVIEW_QUEUE = """
+WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         cast(floor(c_acctbal/1000) AS int) AS bal_kb,
+         substr(c_name, -2) AS name_sfx
+  FROM customer
+), n AS (SELECT count(*) AS nn FROM recs),
+us AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE seg IS NOT NULL GROUP BY seg)),
+ub AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE bal_kb IS NOT NULL GROUP BY bal_kb)),
+un AS (SELECT sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0) AS u
+       FROM (SELECT count(*) AS c FROM recs WHERE name_sfx IS NOT NULL GROUP BY name_sfx)),
+scored AS (
+  SELECT a.id AS id1, b.id AS id2,
+    CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN NULL
+         ELSE a.seg = b.seg END AS agree_seg,
+    CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN NULL
+         ELSE a.bal_kb = b.bal_kb END AS agree_bal_kb,
+    CASE WHEN a.name_sfx IS NULL OR b.name_sfx IS NULL THEN NULL
+         ELSE a.name_sfx = b.name_sfx END AS agree_name_sfx,
+    (CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+          WHEN a.seg = b.seg THEN log2(0.95 / (SELECT u FROM us))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM us))) END
+   + CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN 0.0
+          WHEN a.bal_kb = b.bal_kb THEN log2(0.95 / (SELECT u FROM ub))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM ub))) END
+   + CASE WHEN a.name_sfx IS NULL OR b.name_sfx IS NULL THEN 0.0
+          WHEN a.name_sfx = b.name_sfx THEN log2(0.95 / (SELECT u FROM un))
+          ELSE log2(0.05 / (1.0 - (SELECT u FROM un))) END) AS w
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.id < b.id
+  WHERE a.id IS NOT NULL AND a.nat IS NOT NULL
+)
+SELECT id1, id2, round(w, 4) AS match_weight,
+       agree_seg, agree_bal_kb, agree_name_sfx
+FROM scored WHERE w >= 1.0 AND w < 4.0 ORDER BY id1, id2
+"""
+
+
+def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted neighborhood (Hernández & Stolfo's production
+    variant): one pass sorted by name, one by (segment, balance-bucket),
+    candidate union de-duplicated — two cheap O(n·w) passes catch what
+    either sort order alone misses. Output: distinct candidate pairs
+    with per-pass provenance flags."""
+    from dedupe_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("int").alias("bal_c"),
+    )
+    def canon(pairs, flag):
+        # rank order != id order in general: canonicalize so the same
+        # unordered pair from different passes joins up
+        return pairs.select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+            F.lit(True).alias(flag),
+        )
+
+    by_name = canon(
+        sorted_neighborhood_pairs(
+            cust, id_col="c_custkey", sort_cols=["c_name"], window=3
+        ),
+        "_name_pass",
+    )
+    by_seg = canon(
+        sorted_neighborhood_pairs(
+            cust,
+            id_col="c_custkey",
+            sort_cols=["c_mktsegment", "bal_c"],
+            window=3,
+        ),
+        "_seg_pass",
+    )
+    return (
+        by_name.join(by_seg, ["id1", "id2"], "full_outer")
+        .select(
+            "id1",
+            "id2",
+            F.coalesce("_name_pass", F.lit(False)).alias("from_name_pass"),
+            F.coalesce("_seg_pass", F.lit(False)).alias("from_segbal_pass"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_SNM_MULTIPASS = """
+WITH cust AS (
+  SELECT c_custkey AS id, c_name,
+         c_mktsegment, cast(floor(c_acctbal/100) AS int) AS bal_c
+  FROM customer
+), r1 AS (
+  SELECT id, row_number() OVER (ORDER BY c_name, id) AS rn FROM cust
+), p1 AS (
+  SELECT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+  FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 2
+), r2 AS (
+  SELECT id, row_number()
+           OVER (ORDER BY c_mktsegment, bal_c, id) AS rn
+  FROM cust
+), p2 AS (
+  SELECT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+  FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 2
+)
+SELECT coalesce(p1.id1, p2.id1) AS id1, coalesce(p1.id2, p2.id2) AS id2,
+       p1.id1 IS NOT NULL AS from_name_pass,
+       p2.id1 IS NOT NULL AS from_segbal_pass
+FROM p1 FULL OUTER JOIN p2 ON p1.id1 = p2.id1 AND p1.id2 = p2.id2
+ORDER BY id1, id2
+"""
+
+
 def q_fs_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Fellegi–Sunter arc: block on nation, score with
     frequency-calibrated weights (u from the data), threshold at 4 bits,
@@ -4391,6 +4541,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
         "fs_link": (q_fs_link, SQL_FS_LINK),
         "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
+        "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
+        "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),
