@@ -125,7 +125,9 @@ def _jw_batch(left, right):
     shuffle-bound. Exactly :func:`jaro_winkler`'s semantics (property-
     tested equal on random strings, and transitively pinned to DuckDB).
 
-    ``left``/``right`` are object arrays WITHOUT nulls (caller masks).
+    ``left``/``right`` are object arrays WITHOUT nulls and WITHOUT NUL
+    characters (numpy U-storage truncates trailing NULs — the UDF routes
+    those through the scalar reference).
     Returns float64 scores.
     """
     import numpy as np
@@ -156,7 +158,9 @@ def _jw_batch(left, right):
         if not (i < la).any():
             break
         matched_i = np.zeros(n, dtype=bool)
-        base = (i < la) & (A[:, i] != 0)
+        # (i < la) alone guards padding: every in-length char is real,
+        # including a literal NUL — identical semantics to the scalar loop
+        base = i < la
         for d in range(-md_max, md_max + 1):
             j = i + d
             if j < 0 or j >= l2:
@@ -216,12 +220,24 @@ def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
 
     lv = left.to_numpy(dtype=object)
     rv = right.to_numpy(dtype=object)
+    # numpy 'U' arrays use NUL-terminated storage, silently truncating
+    # trailing NULs — route any NUL-bearing string through the scalar
+    # reference instead (vanishingly rare in real text; exactness wins)
     mask = np.fromiter(
-        (a is not None and b is not None for a, b in zip(lv, rv)),
+        (
+            a is not None
+            and b is not None
+            and "\x00" not in a
+            and "\x00" not in b
+            for a, b in zip(lv, rv)
+        ),
         dtype=bool,
         count=len(lv),
     )
     out = np.full(len(lv), np.nan)
     if mask.any():
         out[mask] = _jw_batch(lv[mask], rv[mask])
+    for k in np.nonzero(~mask)[0]:
+        if lv[k] is not None and rv[k] is not None:
+            out[k] = jaro_winkler(lv[k], rv[k])
     return pd.Series(out, dtype="float64")

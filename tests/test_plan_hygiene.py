@@ -192,6 +192,9 @@ _ONE_ROW_BNLJ_OK = {
     "lm_score",
     "temperature_sample",
     "meta_blocking",  # WEP threshold: 1-row mean broadcast over the edges
+    # term-frequency normalizer: 1-row total broadcast over the
+    # VOCABULARY-sized count table (value_frequencies)
+    "fs_tf_match_pairs",
     # not a 1-row total but still intentional: brute-force exact top-k IS
     # all-pairs by definition — the tiny query side broadcasts against one
     # corpus scan; ann_topk / ivf_topk are the bounded scale path.

@@ -145,3 +145,16 @@ def test_vectorized_batch_all_empty():
     out = _jw_batch(np.array(["", ""], dtype=object),
                     np.array(["", "x"], dtype=object))
     assert list(out) == [0.0, 0.0]
+
+
+def test_udf_nul_strings_take_scalar_path(spark):
+    # numpy U-storage truncates trailing NULs; the UDF must route
+    # NUL-bearing strings through the scalar reference
+    df = spark.createDataFrame(
+        [("a\x00", "a b"), ("a\x00b", "a\x00b"), ("martha", "marhta")],
+        "a string, b string",
+    )
+    got = [r["s"] for r in df.select(jaro_winkler_udf("a", "b").alias("s")).collect()]
+    assert got[0] == pytest.approx(jaro_winkler("a\x00", "a b"), abs=1e-12)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.9611111111111111)
