@@ -425,6 +425,94 @@ def link_incremental(
     )
 
 
+def mutual_best_links(
+    scored: DataFrame,
+    *,
+    score_col: str,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """One-to-one linkage between two sources (the record-linkage mode
+    where each left record may match at most one right record and vice
+    versa — deduplicated master-file joins, Splink's link_only): keep a
+    scored pair only when each side is the other's BEST candidate
+    (mutual argmax; ties broken toward the smaller partner id, so the
+    result is deterministic).
+
+    Both argmaxes are ``min(struct(-score, partner))`` groupBys —
+    partial-aggregating, no windows — followed by two semi-join-shaped
+    equi-joins back onto the pair stream. Greedy mutual-best is the
+    standard scalable surrogate for optimal bipartite matching
+    (exact assignment is super-linear and global; mutual-best is one
+    aggregation pass and local).
+    """
+    s = F.col(score_col)
+    best_for_1 = scored.groupBy(id1).agg(
+        F.min(F.struct((-s).alias("ns"), F.col(id2).alias("p")))["p"].alias(
+            "_best2"
+        )
+    )
+    best_for_2 = scored.groupBy(id2).agg(
+        F.min(F.struct((-s).alias("ns"), F.col(id1).alias("p")))["p"].alias(
+            "_best1"
+        )
+    )
+    return (
+        scored.join(best_for_1, id1)
+        .filter(F.col(id2) == F.col("_best2"))
+        .join(best_for_2, id2)
+        .filter(F.col(id1) == F.col("_best1"))
+        .drop("_best1", "_best2")
+    )
+
+
+def cluster_edge_stats(
+    assignments: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Per-cluster edge statistics — the linkage-QA scorecard that
+    separates tight (clique-like) clusters from chained ones
+    (transitive-closure artifacts where A~B~C but A≁C, the classic
+    false-merge smell; Splink's cluster metrics serve the same role).
+
+    Returns one row per cluster of size >= 2: (cluster_id, n_members,
+    n_edges, max_edges = C(n,2), density = edges/C(n,2), is_clique).
+    Every edge's endpoints share a cluster by construction (edges at or
+    above the linkage threshold), so one endpoint join suffices; the
+    edge count and member count are both partial aggregations.
+    """
+    members = assignments.filter(F.col("cluster_id").isNotNull()).select(
+        "id", "cluster_id"
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    ecnt = (
+        edges.join(
+            members.withColumnRenamed("id", "id1").withColumnRenamed(
+                "cluster_id", "_c"
+            ),
+            "id1",
+        )
+        .groupBy("_c")
+        .agg(F.count("*").alias("n_edges"))
+        .withColumnRenamed("_c", "cluster_id")
+    )
+    maxe = F.expr("n_members * (n_members - 1) / 2")
+    return (
+        sizes.join(ecnt, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            maxe.cast("long").alias("max_edges"),
+            F.round(F.coalesce("n_edges", F.lit(0)) / maxe, 6).alias(
+                "density"
+            ),
+            (F.coalesce("n_edges", F.lit(0)) == maxe).alias("is_clique"),
+        )
+    )
+
+
 MERGE_RULES = ("min", "max", "longest", "mode")
 
 

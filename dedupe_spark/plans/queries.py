@@ -4225,6 +4225,133 @@ def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_incremental(old, batch, prior, **kw).orderBy("id")
 
 
+def q_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one cross-source linkage (each record matches at most one
+    partner): even-keyed customers as source A, odd-keyed as source B,
+    blocked on (nation, segment), Jaro–Winkler-scored, kept only when
+    MUTUALLY best (greedy bipartite matching, ties to the smaller id)."""
+    from dedupe_spark.functions.strsim import jaro_winkler_udf
+    from dedupe_spark.operators.linkage import mutual_best_links
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("id1"),
+        F.col("c_name").alias("nm1"),
+    )
+    b = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("id2"),
+        F.col("c_name").alias("nm2"),
+    )
+    scored = (
+        a.join(b, ["nat", "seg"])
+        .select(
+            "id1", "id2", jaro_winkler_udf("nm1", "nm2").alias("sim")
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+    return (
+        mutual_best_links(scored, score_col="sim")
+        .select("id1", "id2", F.round("sim", 4).alias("sim"))
+        .orderBy("id1")
+    )
+
+
+SQL_ONE_TO_ONE_LINKAGE = """
+WITH a AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         c_custkey AS id1, c_name AS nm1
+  FROM customer WHERE c_custkey % 2 = 0
+), b AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         c_custkey AS id2, c_name AS nm2
+  FROM customer WHERE c_custkey % 2 = 1
+), scored AS (
+  SELECT id1, id2, jaro_winkler_similarity(nm1, nm2) AS sim
+  FROM a JOIN b USING (nat, seg)
+  WHERE jaro_winkler_similarity(nm1, nm2) >= 0.9
+), best1 AS (
+  SELECT id1, id2, sim FROM (
+    SELECT id1, id2, sim,
+           row_number() OVER (PARTITION BY id1 ORDER BY sim DESC, id2) AS rn
+    FROM scored) WHERE rn = 1
+), best2 AS (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2,
+           row_number() OVER (PARTITION BY id2 ORDER BY sim DESC, id1) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT b1.id1, b1.id2, round(b1.sim, 4) AS sim
+FROM best1 b1 JOIN best2 b2 ON b1.id1 = b2.id1 AND b1.id2 = b2.id2
+ORDER BY b1.id1
+"""
+
+
+def q_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage-QA cluster scorecard: edge density per linked cluster —
+    cliques are confident merges, low-density chains are the transitive-
+    closure false-merge smell a production linker audits first."""
+    from dedupe_spark.operators.linkage import (
+        candidate_pairs,
+        cluster_edge_stats,
+        link_records,
+        score_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    kw = dict(
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        compare_col="c_name",
+    )
+    pairs = candidate_pairs(cust, **kw)
+    edges = score_pairs(pairs, max_distance=2).select("id1", "id2")
+    assign = link_records(cust, max_distance=2, **kw)
+    return cluster_edge_stats(assign, edges).orderBy("cluster_id")
+
+
+SQL_CLUSTER_DENSITY = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS id, c_name AS val, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey IS NOT NULL
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM recs a JOIN recs b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.id < b.id
+  WHERE levenshtein(a.val, b.val) <= 2
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id
+), ecnt AS (
+  SELECT c.cluster_id, count(*) AS n_edges
+  FROM pairs p JOIN comp c ON c.id = p.id1
+  GROUP BY c.cluster_id
+)
+SELECT s.cluster_id, s.n_members,
+       coalesce(e.n_edges, 0) AS n_edges,
+       cast(s.n_members * (s.n_members - 1) / 2 AS bigint) AS max_edges,
+       round(coalesce(e.n_edges, 0)
+             / (s.n_members * (s.n_members - 1) / 2.0), 6) AS density,
+       coalesce(e.n_edges, 0) = s.n_members * (s.n_members - 1) / 2
+         AS is_clique
+FROM sizes s LEFT JOIN ecnt e USING (cluster_id)
+ORDER BY s.cluster_id
+"""
+
+
 def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro–Winkler name matching (Winkler 1990, the ER-standard name
     comparator) over blocked customers: same (nation, segment) blocking
@@ -4543,6 +4670,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
         "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
         "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
+        "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
+        "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

@@ -345,3 +345,46 @@ def test_link_incremental_no_links_anywhere(spark):
            link_incremental(old_df, new_df, prior, **kw).collect()}
     assert set(got) == {1, 2, 3}
     assert all(got[i]["cluster_id"] is None for i in got)
+
+
+def test_mutual_best_links_planted(spark):
+    from dedupe_spark.operators.linkage import mutual_best_links
+
+    rows = [
+        # a1's best is b1 (0.9) and b1's best is a1 -> kept
+        (1, 101, 0.9), (1, 102, 0.5),
+        # a2's best is b1 (0.8) but b1 prefers a1 -> dropped
+        (2, 101, 0.8),
+        # a3/b3 mutual at 0.7 -> kept
+        (3, 103, 0.7),
+        # tie on score for a4: partners 104/105 -> smaller id wins; 104's
+        # best is a4 -> kept; 105 loses its only candidate
+        (4, 104, 0.6), (4, 105, 0.6),
+    ]
+    df = spark.createDataFrame(rows, "id1 int, id2 int, sim double")
+    got = {(r["id1"], r["id2"]) for r in
+           mutual_best_links(df, score_col="sim").collect()}
+    assert got == {(1, 101), (3, 103), (4, 104)}
+
+
+def test_cluster_edge_stats_clique_vs_chain(spark):
+    import pytest
+
+    from dedupe_spark.operators.linkage import cluster_edge_stats
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (99, None)],
+        "id int, cluster_id int",
+    )
+    edges = spark.createDataFrame(
+        # cluster 1: triangle (clique); cluster 10: chain 10-11-12
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)],
+        "id1 int, id2 int",
+    )
+    got = {r["cluster_id"]: r for r in
+           cluster_edge_stats(assign, edges).collect()}
+    assert got[1]["n_edges"] == 3 and got[1]["is_clique"]
+    assert got[1]["density"] == 1.0
+    assert got[10]["n_edges"] == 2 and not got[10]["is_clique"]
+    assert got[10]["density"] == pytest.approx(2 / 3, abs=1e-6)
+    assert None not in got and 99 not in got
