@@ -158,3 +158,29 @@ def test_udf_nul_strings_take_scalar_path(spark):
     assert got[0] == pytest.approx(jaro_winkler("a\x00", "a b"), abs=1e-12)
     assert got[1] == pytest.approx(1.0)
     assert got[2] == pytest.approx(0.9611111111111111)
+
+
+def test_jw_hypothesis_vectorized_equals_scalar():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from dedupe_spark.functions.strsim import _jw_batch
+
+    alphabet = st.characters(
+        min_codepoint=1, max_codepoint=0x2FF  # latin + extensions, no NUL
+    )
+    strs = st.text(alphabet=alphabet, min_size=0, max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(strs, strs), min_size=1, max_size=40))
+    def inner(pairs):
+        left = np.array([p[0] for p in pairs], dtype=object)
+        right = np.array([p[1] for p in pairs], dtype=object)
+        got = _jw_batch(left, right)
+        for k, (s1, s2) in enumerate(pairs):
+            want = jaro_winkler(s1, s2)
+            assert got[k] == pytest.approx(want, abs=1e-12), (s1, s2)
+
+    inner()
