@@ -114,3 +114,22 @@ def test_snm_plan_no_cartesian_no_data_scale_global_window(spark):
     # every Window node over the data partitions by _pid; the global
     # cumsum window exists only above the tiny groupBy(_pid) aggregate
     assert "windowspecdefinition(_pid" in plan or "partitionBy" not in plan
+
+
+def test_global_rank_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(i,) for i in (5, 3, 9, 1)], "v int")
+    got = {r["v"]: r["rank"]
+           for r in global_rank(df, order_cols=["v"], n_partitions=64).collect()}
+    assert got == {1: 1, 3: 2, 5: 3, 9: 4}
+
+
+def test_global_rank_null_sort_values_first_and_stable(spark):
+    # nulls sort first in both repartitionByRange and row_number asc;
+    # the id tiebreak keeps them deterministic
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "a")], "rid int, k string"
+    )
+    got = {r["rid"]: r["rank"]
+           for r in global_rank(df, order_cols=["k", "rid"],
+                                n_partitions=4).collect()}
+    assert got == {1: 1, 3: 2, 4: 3, 2: 4}

@@ -385,3 +385,73 @@ def test_streaming_exact_dedupe_null_content_rows_pass_through(spark):
     out = streaming_exact_dedupe(df)
     assert out.count() == 4  # 1 winner for 'same' + all 3 null rows
     assert out.filter("content is null").count() == 3
+
+
+def test_streaming_linkage_equals_one_shot(spark, tmp_path):
+    """Two entity micro-batches through link_entities_stream must land on
+    exactly the one-shot link_records assignment over the union."""
+    from dedupe_spark.operators.linkage import link_records
+    from dedupe_spark.streaming.linkstream import link_entities_stream
+
+    schema = "rid INT, blk STRING, name STRING"
+    b1 = [(1, "A", "jonathan smith"), (2, "A", "jonathon smith"),
+          (4, "A", "maria garcia"), (7, "B", "zz top")]
+    b2 = [(3, "A", "jonathan smyth"), (5, "A", "mariah garcia"),
+          (8, "B", "aa bottom")]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    wh = str(tmp_path / "wh")
+    ck = str(tmp_path / "ck")
+    kw = dict(id_col="rid", block_cols=["blk"], compare_col="name",
+              max_distance=2)
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = link_entities_stream(
+            stream, warehouse=wh, checkpoint=ck, **kw
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_stream()
+
+    from dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, wh)
+    got = sorted(map(tuple, cat.read("assignments").collect()))
+    union = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(map(tuple, link_records(union, **kw).collect()))
+    assert got == want
+    assert cat.read("entities").count() == 7
+
+
+def test_streaming_linkage_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running link_batch with an already-ingested batch must change
+    nothing (foreachBatch replays are at-least-once)."""
+    from dedupe_spark.operators.linkage import link_records
+    from dedupe_spark.sources.catalog import Catalog
+    from dedupe_spark.streaming.linkstream import link_batch
+
+    schema = "rid INT, blk STRING, name STRING"
+    rows = [(1, "A", "aaaa"), (2, "A", "aaab"), (3, "B", "zzzz")]
+    df = spark.createDataFrame(rows, schema)
+    wh = str(tmp_path / "wh")
+    kw = dict(warehouse=wh, id_col="rid", block_cols=["blk"],
+              compare_col="name", max_distance=2)
+    link_batch(df, **kw)
+    first = sorted(map(tuple, Catalog(spark, wh).read("assignments").collect()))
+    link_batch(df, **kw)  # replay
+    second = sorted(map(tuple, Catalog(spark, wh).read("assignments").collect()))
+    assert first == second
+    assert Catalog(spark, wh).read("entities").count() == 3
+    want = sorted(map(tuple, link_records(
+        df, id_col="rid", block_cols=["blk"], compare_col="name",
+        max_distance=2).collect()))
+    assert first == want
