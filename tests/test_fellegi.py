@@ -245,3 +245,42 @@ def test_tf_fields_must_be_subset(spark):
     with pytest.raises(ValueError, match="tf_fields"):
         fs_score(pairs, fields=["f"], m={"f": 0.9}, u={"f": 0.1},
                  tf_fields=["nope"])
+
+
+def test_em_trained_link_end_to_end(spark):
+    """Unsupervised FS: estimate m/u by EM from the data's own agreement
+    patterns, then link with the learned weights — planted duplicate
+    families must come out as clusters without any hand-set m."""
+    rows = []
+    # 10 duplicate families of 3 (agree on all three fields) + 60
+    # background singletons. THREE fields: the 2-class product-Bernoulli
+    # mixture is only identifiable from 3+ fields (7 free pattern counts
+    # vs 7 params) — with 2, EM lands on a different local optimum.
+    for g in range(10):
+        for k in range(3):
+            rows.append((g * 10 + k, "B", f"city{g}", f"seg{g % 5}",
+                         f"zip{g}"))
+    for i in range(60):
+        rows.append((1000 + i, "B", f"bg{i}", f"seg{i % 5}", f"zx{i}"))
+    df = spark.createDataFrame(
+        rows, "rid int, blk string, city string, seg string, zip string"
+    )
+    FIELDS = ["city", "seg", "zip"]
+
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=FIELDS)
+    # bootstrap scoring only to materialize agreement flags for EM
+    boot = fs_score(pairs, fields=FIELDS,
+                    m={f: 0.9 for f in FIELDS}, u={f: 0.1 for f in FIELDS})
+    pats = agreement_patterns(boot, fields=FIELDS)
+    m, u, lam = estimate_m_u(pats, fields=FIELDS, n_iter=100)
+    # matches agree on city/zip; random pairs rarely share either
+    assert m["city"] > 0.9 and u["city"] < 0.05
+    assert m["zip"] > 0.9 and u["zip"] < 0.05
+
+    out = fs_link(df, id_col="rid", block_cols=["blk"],
+                  fields=FIELDS, m=m, u=u, threshold_weight=4.0)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    for g in range(10):
+        base = g * 10
+        assert got[base] == got[base + 1] == got[base + 2] == base
+    assert all(got[1000 + i] is None for i in range(60))
