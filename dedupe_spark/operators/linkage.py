@@ -684,6 +684,29 @@ def blocking_metrics(
     )
 
 
+def evaluate_blocking_schemes(
+    df: DataFrame,
+    *,
+    truth_cols: list[str],
+    schemes: dict[str, list[str]],
+) -> DataFrame:
+    """Blocking-scheme search (Christen ch. 7; the offline half of
+    learned blocking à la Bilenko's Blocking-Scheme Learner): run
+    :func:`blocking_metrics` for every candidate scheme and emit one
+    labeled row each, so reduction ratio / completeness / quality are
+    comparable on a single scorecard. Each scheme costs three group-size
+    scans — still zero joins, zero pair materialization."""
+    if not schemes:
+        raise ValueError("schemes must be non-empty")
+    out = None
+    for name, block_cols in schemes.items():
+        row = blocking_metrics(
+            df, truth_cols=truth_cols, block_cols=block_cols
+        ).select(F.lit(name).alias("scheme"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def clustering_agreement(
     df: DataFrame,
     *,

@@ -4390,6 +4390,95 @@ ORDER BY id1, id2
 """
 
 
+def q_blocking_scheme_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme search: four candidate schemes over documents
+    (first token, language, source, length bucket) scored against
+    normalized-wordset truth on one scorecard — the offline evidence for
+    choosing a production blocking key. Pure group-size folds; no pair
+    set materialized for any scheme."""
+    from dedupe_spark.operators.linkage import evaluate_blocking_schemes
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    feat = docs.select(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.trim(F.col("text")), r"\W+"))
+                ),
+                " ",
+            )
+        ).alias("truth_key"),
+        F.split(F.trim(F.col("text")), r"\W+").getItem(0).alias("first_tok"),
+        F.col("lang"),
+        F.col("source"),
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    )
+    return evaluate_blocking_schemes(
+        feat,
+        truth_cols=["truth_key"],
+        schemes={
+            "first_token": ["first_tok"],
+            "language": ["lang"],
+            "source": ["source"],
+            "length_bucket": ["len_bucket"],
+        },
+    ).orderBy("scheme")
+
+
+def _scheme_sql(block_expr: str, name: str) -> str:
+    return f"""
+  SELECT '{name}' AS scheme, n_records, total_pairs, candidate_pairs,
+         true_pairs, covered_true_pairs,
+         CASE WHEN total_pairs > 0
+              THEN round(1.0 - candidate_pairs / total_pairs, 6) END
+           AS reduction_ratio,
+         CASE WHEN true_pairs > 0
+              THEN round(covered_true_pairs / true_pairs, 6) END
+           AS pairs_completeness,
+         CASE WHEN candidate_pairs > 0
+              THEN round(covered_true_pairs / candidate_pairs, 6) END
+           AS pairs_quality
+  FROM (
+    SELECT
+      (SELECT count(*) FROM recs) AS n_records,
+      (SELECT count(*) FROM recs) * ((SELECT count(*) FROM recs) - 1) / 2.0
+        AS total_pairs,
+      (SELECT coalesce(sum(s*(s-1)/2.0), 0.0)
+       FROM (SELECT count(*) AS s FROM recs GROUP BY {block_expr}))
+        AS candidate_pairs,
+      (SELECT coalesce(sum(s*(s-1)/2.0), 0.0)
+       FROM (SELECT count(*) AS s FROM recs GROUP BY truth_key))
+        AS true_pairs,
+      (SELECT coalesce(sum(s*(s-1)/2.0), 0.0)
+       FROM (SELECT count(*) AS s FROM recs GROUP BY truth_key, {block_expr}))
+        AS covered_true_pairs
+  )"""
+
+
+SQL_BLOCKING_SCHEME_SEARCH = (
+    """
+WITH recs AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\\W+'))), ' ')) AS truth_key,
+         regexp_split_to_array(trim(text), '\\W+')[1] AS first_tok,
+         lang, source,
+         cast(floor(n_chars / 100) AS bigint) AS len_bucket
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+)
+"""
+    + _scheme_sql("first_tok", "first_token")
+    + "\nUNION ALL\n"
+    + _scheme_sql("lang", "language")
+    + "\nUNION ALL\n"
+    + _scheme_sql("source", "source")
+    + "\nUNION ALL\n"
+    + _scheme_sql("len_bucket", "length_bucket")
+    + "\nORDER BY scheme"
+)
+
+
 def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic blocking census (Soundex-family, Odell & Russell 1918;
     Christen ch. 4): block part names on a simplified-Soundex key
@@ -4672,6 +4761,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
         "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
         "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),
+        "blocking_scheme_search": (
+            q_blocking_scheme_search,
+            SQL_BLOCKING_SCHEME_SEARCH,
+        ),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "code_quality": (q_code_quality, SQL_CODE_QUALITY),
         "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),

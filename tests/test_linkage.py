@@ -388,3 +388,25 @@ def test_cluster_edge_stats_clique_vs_chain(spark):
     assert got[10]["n_edges"] == 2 and not got[10]["is_clique"]
     assert got[10]["density"] == pytest.approx(2 / 3, abs=1e-6)
     assert None not in got and 99 not in got
+
+
+def test_evaluate_blocking_schemes_labels_and_rejects_empty(spark):
+    import pytest
+
+    from dedupe_spark.operators.linkage import evaluate_blocking_schemes
+
+    df = spark.createDataFrame(
+        [("t1", "a", "x"), ("t1", "a", "y"), ("t2", "b", "x")],
+        "truth string, blk1 string, blk2 string",
+    )
+    out = evaluate_blocking_schemes(
+        df, truth_cols=["truth"],
+        schemes={"s1": ["blk1"], "s2": ["blk2"]},
+    )
+    got = {r["scheme"]: r for r in out.collect()}
+    assert set(got) == {"s1", "s2"}
+    # truth pair (rows 1,2) co-blocks under blk1 (a,a) but not blk2 (x,y)
+    assert got["s1"]["pairs_completeness"] == 1.0
+    assert got["s2"]["pairs_completeness"] == 0.0
+    with pytest.raises(ValueError, match="schemes"):
+        evaluate_blocking_schemes(df, truth_cols=["truth"], schemes={})
