@@ -4352,6 +4352,64 @@ ORDER BY s.cluster_id
 """
 
 
+def q_pprl_dice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving linkage (Schnell 2009): customers' names
+    encoded as 256-bit bigram Bloom filters (pure codegen higher-order
+    functions — no UDF), blocked on (nation, segment), pairs kept at
+    Dice >= 0.9 computed from the BITSETS alone — the linker never sees
+    the names. The DuckDB twin recomputes the position sets via the same
+    arithmetic double-hash, which is exactly why that hash was chosen
+    over xxhash64 (see pprl.py docstring)."""
+    from dedupe_spark.operators.pprl import pprl_dice_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        pprl_dice_pairs(
+            cust,
+            id_col="c_custkey",
+            name_col="c_name",
+            block_cols=["c_nationkey", "c_mktsegment"],
+            min_dice=0.9,
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_PPRL_DICE_PAIRS = """
+WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         lower(c_name) AS nm
+  FROM customer
+), grams AS (
+  SELECT DISTINCT id, substr(nm, i, 2) AS g
+  FROM recs, unnest(range(1, length(nm))) AS r(i)
+), pos AS (
+  SELECT DISTINCT id,
+         ((ascii(substr(g,1,1))*31 + ascii(substr(g,2,1)))
+          * (2*k+1) + k*k) % 256 AS p
+  FROM grams, unnest(range(0, 4)) AS s(k)
+), cnt AS (
+  SELECT id, count(*) AS nb FROM pos GROUP BY id
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
+), common AS (
+  SELECT p1.id AS id1, p2.id AS id2, count(*) AS c
+  FROM pos p1 JOIN pos p2 ON p1.p = p2.p AND p1.id < p2.id
+  GROUP BY 1, 2
+)
+SELECT pr.id1, pr.id2,
+       round(2.0 * coalesce(c.c, 0) / (ca.nb + cb.nb), 6) AS dice
+FROM pairs pr
+LEFT JOIN common c ON c.id1 = pr.id1 AND c.id2 = pr.id2
+JOIN cnt ca ON ca.id = pr.id1
+JOIN cnt cb ON cb.id = pr.id2
+WHERE round(2.0 * coalesce(c.c, 0) / (ca.nb + cb.nb), 6) >= 0.9
+ORDER BY pr.id1, pr.id2
+"""
+
+
 def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro–Winkler name matching (Winkler 1990, the ER-standard name
     comparator) over blocked customers: same (nation, segment) blocking
@@ -4752,6 +4810,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
         "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
         "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
+        "pprl_dice_pairs": (q_pprl_dice_pairs, SQL_PPRL_DICE_PAIRS),
         "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
         # oracle = the ONE-SHOT twin: incremental must equal it exactly
         "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
