@@ -1,0 +1,124 @@
+"""run_linkage.py CLI e2e: all three comparators, incremental update,
+golden-record fusion, and validation errors."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jobs.run_linkage import main
+
+
+@pytest.fixture(scope="module")
+def entities_parquet(spark, tmp_path_factory):
+    rows = [
+        (1, "A", "jonathan smith", "s1"),
+        (2, "A", "jonathon smith", "s1"),
+        (3, "A", "jonathan smyth", "s2"),
+        (4, "A", "maria garcia", "s3"),
+        (5, "A", "mariah garcia", "s3"),
+        (6, "B", "jonathan smith", "s1"),
+        (7, "B", "completely other", "s4"),
+    ]
+    p = str(tmp_path_factory.mktemp("ents") / "entities.parquet")
+    spark.createDataFrame(
+        rows, "rid int, blk string, name string, seg string"
+    ).write.parquet(p)
+    return p
+
+
+def _report(capsys) -> dict:
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_levenshtein_run_with_merge(entities_parquet, capsys, tmp_path, spark):
+    wh = str(tmp_path / "wh")
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "lv1",
+        "--merge", "name=longest,seg=mode", "--quiet",
+    ])
+    assert rc == 0
+    rep = _report(capsys)
+    assert rep["n_entities"] == 7
+    assert rep["n_clusters"] == 2          # {1,2,3} and {4,5}
+    assert rep["n_clustered_rows"] == 5
+    assert rep["n_golden"] == 4            # 2 merged + 2 singletons (6,7)
+    golden = {r["entity_id"]: r for r in spark.read.parquet(
+        f"{wh}/lv1/golden").collect()}
+    assert golden[1]["n_members"] == 3
+    assert golden[4]["seg"] == "s3"
+
+
+def test_jaro_winkler_run(entities_parquet, capsys, tmp_path):
+    wh = str(tmp_path / "wh")
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--comparator", "jaro_winkler",
+        "--min-similarity", "0.93", "--warehouse", wh, "--run-id", "jw1",
+        "--quiet",
+    ])
+    assert rc == 0
+    rep = _report(capsys)
+    assert rep["n_clusters"] >= 2 and rep["n_assigned"] == 7
+
+
+def test_fellegi_em_run(entities_parquet, capsys, tmp_path):
+    wh = str(tmp_path / "wh")
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--comparator", "fellegi", "--fs-fields", "name,seg",
+        "--fs-threshold", "3.0", "--warehouse", wh, "--run-id", "fs1",
+        "--quiet",
+    ])
+    assert rc == 0
+    rep = _report(capsys)
+    # exact-name agreement within block A: none share BOTH name+seg
+    # except... name must agree exactly for FS; only near-typos here, so
+    # clusters come only from (name agree) pairs — none are identical in
+    # block A; assert the run completes with a valid shape instead
+    assert rep["n_assigned"] == 7 and rep["n_entities"] == 7
+
+
+def test_update_links_new_batch(entities_parquet, capsys, tmp_path, spark):
+    wh = str(tmp_path / "wh")
+    main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "up1",
+        "--quiet",
+    ])
+    capsys.readouterr()
+    batch = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(8, "B", "completely othar", "s4")],
+        "rid int, blk string, name string, seg string",
+    ).write.parquet(batch)
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "up1",
+        "--update", batch, "--quiet",
+    ])
+    assert rc == 0
+    rep = _report(capsys)
+    assert rep["comparator"] == "update"
+    assert rep["n_entities"] == 8
+    assign = {r["id"]: r["cluster_id"] for r in spark.read.parquet(
+        f"{wh}/up1/assignment").collect()}
+    assert assign[7] == 7 and assign[8] == 7  # 8 joined 7's cluster
+
+
+def test_validation_errors(entities_parquet, tmp_path):
+    wh = str(tmp_path / "wh")
+    with pytest.raises(SystemExit):
+        main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+              "--warehouse", wh, "--run-id", "x"])  # no compare-col
+    with pytest.raises(SystemExit):
+        main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+              "--comparator", "fellegi", "--warehouse", wh,
+              "--run-id", "x"])  # no fs-fields
+    with pytest.raises(SystemExit):
+        main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+              "--compare-col", "name", "--merge", "badspec",
+              "--warehouse", wh, "--run-id", "x"])
