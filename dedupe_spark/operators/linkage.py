@@ -155,11 +155,19 @@ def link_records(
     compare_col: str,
     max_distance: int = 2,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    must_link: DataFrame | None = None,
+    cannot_link: DataFrame | None = None,
 ) -> DataFrame:
     """Full linkage: every input record → (id, cluster_id, cluster_size,
     is_representative). Singletons get cluster_id null (the reference's
     "groups require >= 2 members" rule); the representative is the
     cluster-min id, the reference's deterministic-survivor convention.
+
+    ``must_link`` / ``cannot_link`` inject curated (id1, id2) pair
+    overrides via :func:`apply_constraints`. A must-link pair may cross
+    blocks, so the constrained path clusters with the GLOBAL iterative
+    CC instead of the per-block solver — constraints cost the O(log n)
+    star rounds; leave them None on the pure-blocked fast path.
     """
     pairs = candidate_pairs(
         df,
@@ -169,7 +177,14 @@ def link_records(
         max_block=max_block,
     )
     edges = score_pairs(pairs, max_distance=max_distance, carry=block_cols)
-    if max_block is not None:
+    if must_link is not None or cannot_link is not None:
+        constrained = apply_constraints(
+            edges.select("id1", "id2"),
+            must_link=must_link,
+            cannot_link=cannot_link,
+        )
+        comp = connected_components(constrained)
+    elif max_block is not None:
         # single-pass blocking ⇒ no component crosses a block, and the
         # block cap bounds per-task memory ⇒ solve each block exactly in
         # one shuffle instead of O(log n) iterative star rounds (which
@@ -307,6 +322,46 @@ def sorted_neighborhood_pairs(
             *[F.col(f"r_{c}") for c in carry],
         )
     )
+
+
+def apply_constraints(
+    edges: DataFrame,
+    *,
+    must_link: DataFrame | None = None,
+    cannot_link: DataFrame | None = None,
+) -> DataFrame:
+    """Constraint-based ER (semi-supervised linkage, Wagstaff & Cardie
+    2000 applied to ER; every production MDM system carries an override
+    table): inject curated pair decisions into the edge set BEFORE
+    clustering.
+
+    - ``must_link`` (id1, id2) pairs are added as edges — a human-
+      confirmed match survives any comparator miss;
+    - ``cannot_link`` pairs are removed — a human-rejected match is
+      dropped no matter how similar the records look. Orientation-
+      insensitive on both (pairs are canonicalized before the union /
+      anti-join).
+
+    NOTE cannot-link is enforced on EDGES, not on the transitive
+    closure: A~B and B~C still place A and C in one cluster even under
+    cannot(A, C) — closure-respecting cannot-link is NP-hard (correlation
+    clustering); the edge-level contract is the standard, predictable
+    compromise and is documented loudly here so callers audit residual
+    violations with :func:`cluster_edge_stats`-style tooling.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+        )
+
+    out = canon(edges.select("id1", "id2"))
+    if cannot_link is not None:
+        out = out.join(canon(cannot_link), ["id1", "id2"], "left_anti")
+    if must_link is not None:
+        out = out.unionByName(canon(must_link)).distinct()
+    return out
 
 
 def link_incremental(

@@ -410,3 +410,34 @@ def test_evaluate_blocking_schemes_labels_and_rejects_empty(spark):
     assert got["s2"]["pairs_completeness"] == 0.0
     with pytest.raises(ValueError, match="schemes"):
         evaluate_blocking_schemes(df, truth_cols=["truth"], schemes={})
+
+
+def test_constraints_must_and_cannot_link(spark):
+    from dedupe_spark.operators.linkage import apply_constraints
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "id1 int, id2 int")
+    must = spark.createDataFrame([(5, 4)], "id1 int, id2 int")   # reversed
+    cannot = spark.createDataFrame([(2, 3)], "id1 int, id2 int")
+    got = {(r["id1"], r["id2"]) for r in apply_constraints(
+        edges, must_link=must, cannot_link=cannot).collect()}
+    assert got == {(1, 2), (4, 5)}  # (2,3) removed, (4,5) canonicalized
+
+
+def test_link_records_with_constraints_cross_block_merge(spark):
+    rows = [
+        (1, "A", "jonathan smith"),
+        (2, "A", "jonathon smith"),
+        (6, "B", "jonathan smith"),   # other block: normally unlinked
+        (9, "A", "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, name string")
+    must = spark.createDataFrame([(1, 6)], "id1 int, id2 int")
+    cannot = spark.createDataFrame([(1, 2)], "id1 int, id2 int")
+    got = {r["id"]: r for r in link_records(
+        df, id_col="rid", block_cols=["blk"], compare_col="name",
+        max_distance=2, must_link=must, cannot_link=cannot,
+    ).collect()}
+    # must-link merges across blocks; cannot-link severs the typo edge
+    assert got[1]["cluster_id"] == got[6]["cluster_id"] == 1
+    assert got[2]["cluster_id"] is None
+    assert got[9]["cluster_id"] is None

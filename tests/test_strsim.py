@@ -97,16 +97,17 @@ def test_jw_plan_is_arrow_batched_not_rowwise(spark):
 def test_phonetic_key_classic_soundex_cases(spark):
     from dedupe_spark.functions.strsim import phonetic_key
 
-    rows = [("martha",), ("marhta",), ("robert",), ("rupert",), ("small",),
-            ("",), (None,), ("123",), ("pfister",)]
-    df = spark.createDataFrame(rows, "w string")
-    got = [r["k"] for r in df.select(phonetic_key(F.col("w")).alias("k")).collect()]
+    rows = [(1, "martha"), (2, "marhta"), (3, "robert"), (4, "rupert"),
+            (5, "small"), (6, ""), (7, None), (8, "123"), (9, "pfister")]
+    df = spark.createDataFrame(rows, "i int, w string")
+    got = {r["i"]: r["k"] for r in
+           df.select("i", phonetic_key(F.col("w")).alias("k")).collect()}
     # classic Soundex agreement: M630 twice (typo pair!), R163 twice
-    assert got[0] == "M630" and got[1] == "M630"
-    assert got[2] == "R163" and got[3] == "R163"
-    assert got[4] == "S540"
-    assert got[5] is None and got[6] is None and got[7] is None
-    assert got[8] == "P236"  # first-letter run merged (pf -> P2..)
+    assert got[1] == "M630" and got[2] == "M630"
+    assert got[3] == "R163" and got[4] == "R163"
+    assert got[5] == "S540"
+    assert got[6] is None and got[7] is None and got[8] is None
+    assert got[9] == "P236"  # first-letter run merged (pf -> P2..)
 
 
 def test_vectorized_batch_equals_scalar_on_random_strings():
