@@ -150,6 +150,44 @@ def prefix_filtered_jaccard_pairs(
     return verified.select("id1", "id2", "n1", "n2", "overlap", "jaccard")
 
 
+def prefix_filtered_dedupe(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Lossless set-similarity dedup: prefix-filtered Jaccard pairs →
+    transitive clustering → (id, cluster_id, cluster_size,
+    is_representative) in the engine's standard assignment shape.
+    The LOSSLESS sibling of ``ngram_jaccard_dedupe`` (whose df-cap drops
+    hot grams): every pair with Jaccard ≥ t contributes an edge, no
+    exceptions, at O((1-t)·index) cost instead of a recall trade."""
+    from pyspark.sql import Window
+
+    from dedupe_spark.operators.cc import connected_components
+
+    edges = prefix_filtered_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold
+    ).select("id1", "id2")
+    comp = connected_components(edges)
+    ids = df.select(F.col(id_col).alias("id")).filter(F.col("id").isNotNull())
+    out = ids.join(
+        comp.withColumnRenamed("file_id", "id"), "id", "left"
+    ).select("id", F.col("component").alias("cluster_id"))
+    w = Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
+    return out.select(
+        "id",
+        "cluster_id",
+        F.when(F.col("cluster_id").isNotNull(), F.count("*").over(w)).alias(
+            "cluster_size"
+        ),
+        F.when(
+            F.col("cluster_id").isNotNull(), F.col("id") == F.min("id").over(w)
+        ).alias("is_representative"),
+    )
+
+
 if __name__ == "__main__":  # pragma: no cover — library CLI (SURVEY §3.3)
     import argparse
 

@@ -4664,6 +4664,72 @@ ORDER BY id1, id2
 """
 
 
+def q_ppjoin_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filtered Jaccard dedup end-to-end on the planted
+    family corpus: every within-family pair (J=10/12) edges, transitive
+    closure clusters each family, members cluster to the family-min id.
+    The recursive-CTE twin recomputes pairs AND closure."""
+    from dedupe_spark.operators.ppjoin import prefix_filtered_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    fam = F.floor(did / 10)
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(F.lit("t"), (fam * 20 + j).cast("string")),
+    )
+    member = F.concat(F.lit("t"), (fam * 20 + 10 + did % 10).cast("string"))
+    planted = docs.select(
+        did.alias("id"),
+        F.array_join(F.concat(base, F.array(member)), " ").alias("text"),
+    )
+    return prefix_filtered_dedupe(
+        planted, id_col="id", text_col="text", threshold=0.8
+    ).orderBy("id")
+
+
+SQL_PPJOIN_DEDUPE = """
+WITH RECURSIVE planted AS (
+  SELECT cast(doc_id AS bigint) AS id,
+         list_append(
+           list_transform(range(0, 10),
+             j -> 't' || cast((doc_id // 10) * 20 + j AS varchar)),
+           't' || cast((doc_id // 10) * 20 + 10 + doc_id % 10 AS varchar)
+         ) AS toks
+  FROM documents
+), tok AS (
+  SELECT DISTINCT id, unnest(toks) AS token FROM planted
+), sets AS (
+  SELECT id, list_sort(list(token)) AS toks, count(*) AS n
+  FROM tok GROUP BY id
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM sets a JOIN sets b ON a.id < b.id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+              / (a.n + b.n - len(list_intersect(a.toks, b.toks))), 6)
+        >= 0.8
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT p.id, comp.cluster_id, sized.cluster_size,
+       CASE WHEN comp.cluster_id IS NULL THEN NULL
+            ELSE p.id = comp.cluster_id END AS is_representative
+FROM planted p
+LEFT JOIN comp ON comp.id = p.id
+LEFT JOIN sized ON sized.cluster_id = comp.cluster_id
+ORDER BY p.id
+"""
+
+
 def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (Papadakis TKDE'13): bigram token blocks (df-capped)
     → CBS blocking-graph edges → weighted-edge pruning at the global mean.
@@ -4809,6 +4875,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
         "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
         "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
+        # oracle is BRUTE-FORCE all-pairs + closure: a prefix-filter recall
+        # loss would surface as a row mismatch, proving losslessness
+        "ppjoin_dedupe": (q_ppjoin_dedupe, SQL_PPJOIN_DEDUPE),
         "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
         "pprl_dice_pairs": (q_pprl_dice_pairs, SQL_PPRL_DICE_PAIRS),
         "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
