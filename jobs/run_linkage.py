@@ -111,9 +111,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.update:
         batch = spark.read.parquet(args.update)
         prior = cat.read(run("assignment"))
-        assign = linkage.link_incremental(df, batch, prior, **kw)
-        entities = df.unionByName(batch.join(
-            df.select(F.col(args.id_col).alias("_x")),
+        # the linked corpus is the CATALOG's entities table, not the
+        # --input path: a second --update must extend batch 1's rows,
+        # which exist only in the catalog
+        old = cat.read(run("entities"))
+        assign = linkage.link_incremental(old, batch, prior, **kw)
+        entities = old.unionByName(batch.join(
+            old.select(F.col(args.id_col).alias("_x")),
             batch[args.id_col] == F.col("_x"), "left_anti",
         ))
     elif args.comparator == "levenshtein":
@@ -180,23 +184,27 @@ def main(argv: list[str] | None = None) -> int:
 
     cat.replace(assign, run("assignment"))
     cat.replace(entities, run("entities"))
+    # everything below must read the MATERIALIZED tables: the live
+    # `assign`/`entities` plans still reference the pre-swap files that
+    # replace() just renamed away (stale-lineage trap)
+    assign_tbl = cat.read(run("assignment"))
 
     report = {
         "run_id": args.run_id,
         "comparator": args.comparator if not args.update else "update",
         "n_entities": cat.rows(run("entities")),
         "n_assigned": cat.rows(run("assignment")),
-        "n_clusters": assign.filter(
+        "n_clusters": assign_tbl.filter(
             F.col("is_representative")
         ).count(),
-        "n_clustered_rows": assign.filter(
+        "n_clustered_rows": assign_tbl.filter(
             F.col("cluster_id").isNotNull()
         ).count(),
     }
 
     if merge_rules:
         golden = linkage.merge_clusters(
-            cat.read(run("entities")), assign,
+            cat.read(run("entities")), assign_tbl,
             id_col=args.id_col, rules=merge_rules,
         )
         cat.replace(golden, run("golden"))

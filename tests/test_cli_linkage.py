@@ -122,3 +122,30 @@ def test_validation_errors(entities_parquet, tmp_path):
         main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
               "--compare-col", "name", "--merge", "badspec",
               "--warehouse", wh, "--run-id", "x"])
+
+
+def test_second_update_keeps_first_batch(entities_parquet, capsys, tmp_path, spark):
+    """Regression: a second --update must extend the CATALOG's entities
+    (including batch 1), not the original --input."""
+    wh = str(tmp_path / "wh")
+    base = [entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+            "--compare-col", "name", "--warehouse", wh, "--run-id", "u2",
+            "--quiet"]
+    main(base)
+    schema = "rid int, blk string, name string, seg string"
+    b1 = str(tmp_path / "b1.parquet")
+    spark.createDataFrame([(8, "C", "first batch row", "s")], schema
+                          ).write.parquet(b1)
+    main(base + ["--update", b1])
+    b2 = str(tmp_path / "b2.parquet")
+    spark.createDataFrame([(9, "C", "first batch rowX", "s")], schema
+                          ).write.parquet(b2)
+    capsys.readouterr()
+    rc = main(base + ["--update", b2])
+    assert rc == 0
+    rep = _report(capsys)
+    assert rep["n_entities"] == 9  # 7 base + batch1 + batch2
+    assign = {r["id"]: r["cluster_id"] for r in spark.read.parquet(
+        f"{wh}/u2/assignment").collect()}
+    # 9 links to 8 (lev 1) — possible only if batch 1 survived
+    assert assign[8] == 8 and assign[9] == 8
