@@ -4131,6 +4131,95 @@ ORDER BY id1, id2
 """
 
 
+def q_fs_graded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded comparison levels (Splink's core comparison structure):
+    the name field resolves exact ≫ levenshtein≤2 ≫ else, each level
+    with its own m/u (Σ=1 per field — they are distributions over
+    levels), so a near-typo earns most-but-not-all of an exact match's
+    evidence. Blocked on nation; pairs kept at ≥ 8 bits with the fired
+    name level reported."""
+    import math
+
+    from dedupe_spark.operators.fellegi import (
+        GradedLevel,
+        field_pairs,
+        fs_score_graded,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    ent = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("nm"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kb"),
+    )
+    pairs = field_pairs(
+        ent, id_col="id", block_cols=["nat"], fields=["nm", "seg", "bal_kb"]
+    )
+    graded = {
+        "nm": [
+            GradedLevel("exact", lambda l, r: l == r, 0.65, 1e-6),
+            GradedLevel(
+                "lev2",
+                lambda l, r: F.levenshtein(l, r, 2).between(0, 2),
+                0.3,
+                0.001,
+            ),
+            GradedLevel("else", None, 0.05, 0.998999),
+        ],
+        "seg": [
+            GradedLevel("exact", lambda l, r: l == r, 0.9, 0.2),
+            GradedLevel("else", None, 0.1, 0.8),
+        ],
+        "bal_kb": [
+            GradedLevel("exact", lambda l, r: l == r, 0.85, 0.09),
+            GradedLevel("else", None, 0.15, 0.91),
+        ],
+    }
+    scored = fs_score_graded(pairs, graded=graded)
+    return (
+        scored.filter(F.col("match_weight") >= 8.0)
+        .select(
+            "id1",
+            "id2",
+            "level_nm",
+            F.round("match_weight", 4).alias("match_weight"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_FS_GRADED_PAIRS = f"""
+WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_name AS nm,
+         c_mktsegment AS seg, cast(floor(c_acctbal/1000) AS int) AS bal_kb
+  FROM customer
+), scored AS (
+  SELECT a.id AS id1, b.id AS id2,
+    CASE WHEN a.nm IS NULL OR b.nm IS NULL THEN 'missing'
+         WHEN a.nm = b.nm THEN 'exact'
+         WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'lev2'
+         ELSE 'else' END AS level_nm,
+    (CASE WHEN a.nm IS NULL OR b.nm IS NULL THEN 0.0
+          WHEN a.nm = b.nm THEN cast({__import__("math").log2(0.65 / 1e-6)!r} AS double)
+          WHEN levenshtein(a.nm, b.nm) <= 2
+            THEN cast({__import__("math").log2(0.3 / 0.001)!r} AS double)
+          ELSE cast({__import__("math").log2(0.05 / 0.998999)!r} AS double) END
+   + CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+          WHEN a.seg = b.seg THEN cast({__import__("math").log2(0.9 / 0.2)!r} AS double)
+          ELSE cast({__import__("math").log2(0.1 / 0.8)!r} AS double) END
+   + CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN 0.0
+          WHEN a.bal_kb = b.bal_kb
+            THEN cast({__import__("math").log2(0.85 / 0.09)!r} AS double)
+          ELSE cast({__import__("math").log2(0.15 / 0.91)!r} AS double) END) AS w
+  FROM recs a JOIN recs b ON a.nat = b.nat AND a.id < b.id
+)
+SELECT id1, id2, level_nm, round(w, 4) AS match_weight
+FROM scored WHERE w >= 8.0 ORDER BY id1, id2
+"""
+
+
 def q_fs_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Fellegi–Sunter arc: block on nation, score with
     frequency-calibrated weights (u from the data), threshold at 4 bits,
@@ -4886,6 +4975,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "fs_link": (q_fs_link, SQL_FS_LINK),
         "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
         "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
+        "fs_graded_pairs": (q_fs_graded_pairs, SQL_FS_GRADED_PAIRS),
         "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
         "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
         "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),

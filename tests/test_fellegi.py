@@ -284,3 +284,56 @@ def test_em_trained_link_end_to_end(spark):
         base = g * 10
         assert got[base] == got[base + 1] == got[base + 2] == base
     assert all(got[1000 + i] is None for i in range(60))
+
+
+def test_graded_levels_first_match_wins_and_weights(spark):
+    from dedupe_spark.operators.fellegi import GradedLevel, fs_score_graded
+
+    df = spark.createDataFrame(
+        [(1, "B", "abc"), (2, "B", "abc"), (3, "B", "abd"), (4, "B", None)],
+        "rid int, blk string, nm string",
+    )
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=["nm"])
+    graded = {
+        "nm": [
+            GradedLevel("exact", lambda l, r: l == r, 0.6, 0.01),
+            GradedLevel("lev1",
+                        lambda l, r: F.levenshtein(l, r, 1).between(0, 1),
+                        0.3, 0.09),
+            GradedLevel("else", None, 0.1, 0.9),
+        ]
+    }
+    got = {(r["id1"], r["id2"]): r for r in
+           fs_score_graded(pairs, graded=graded, prior=0.5).collect()}
+    # exact fires FIRST even though lev1's condition is also true
+    assert got[(1, 2)]["level_nm"] == "exact"
+    assert got[(1, 2)]["match_weight"] == pytest.approx(math.log2(0.6 / 0.01))
+    assert got[(1, 3)]["level_nm"] == "lev1"
+    assert got[(1, 3)]["match_weight"] == pytest.approx(math.log2(0.3 / 0.09))
+    assert got[(1, 4)]["level_nm"] == "missing"
+    assert got[(1, 4)]["match_weight"] == 0.0
+    w = math.log2(0.6 / 0.01)
+    assert got[(1, 2)]["match_probability"] == pytest.approx(
+        2.0**w / (1 + 2.0**w))
+
+
+def test_graded_levels_validation(spark):
+    from dedupe_spark.operators.fellegi import GradedLevel, fs_score_graded
+
+    df = spark.createDataFrame([(1, "B", "x")], "rid int, blk string, nm string")
+    pairs = field_pairs(df, id_col="rid", block_cols=["blk"], fields=["nm"])
+    eq = lambda l, r: l == r  # noqa: E731
+    with pytest.raises(ValueError, match="catch-all"):
+        fs_score_graded(pairs, graded={"nm": [GradedLevel("a", eq, 0.5, 0.5)]})
+    with pytest.raises(ValueError, match="only the last"):
+        fs_score_graded(pairs, graded={"nm": [
+            GradedLevel("a", None, 0.5, 0.5),
+            GradedLevel("b", None, 0.5, 0.5)]})
+    with pytest.raises(ValueError, match="must be 1"):
+        fs_score_graded(pairs, graded={"nm": [
+            GradedLevel("a", eq, 0.5, 0.4),
+            GradedLevel("b", None, 0.4, 0.6)]})
+    with pytest.raises(ValueError, match="not in"):
+        fs_score_graded(pairs, graded={"nm": [
+            GradedLevel("a", eq, 1.5, 0.4),
+            GradedLevel("b", None, -0.5, 0.6)]})
