@@ -568,6 +568,63 @@ def cluster_edge_stats(
     )
 
 
+def assignment_churn(
+    old_assign: DataFrame, new_assign: DataFrame
+) -> DataFrame:
+    """Cluster-churn report between two assignment snapshots — the MDM
+    audit for "what did this re-run / this batch do to my entities":
+    per entity present in either snapshot, the old and new cluster plus
+    a change class:
+
+    - ``unchanged``    same cluster key on both sides (incl. singleton →
+                       same singleton),
+    - ``clustered``    singleton → member of a cluster,
+    - ``unclustered``  cluster member → singleton,
+    - ``moved``        different non-null cluster,
+    - ``added`` / ``removed``  entity exists on only one side.
+
+    Cluster identity is compared by the coalesced entity key
+    (cluster_id or own id — the merge_clusters convention), so a cluster
+    that merely absorbed members counts its old members ``unchanged``
+    unless its min-id label changed (label stability is exactly what
+    min-id labeling buys). One full-outer join on id; all else is a
+    projection.
+    """
+    o = old_assign.select(
+        F.col("id").alias("_id"),
+        F.col("cluster_id").alias("old_cluster"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("_ok"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new_assign.select(
+        F.col("id").alias("_id"),
+        F.col("cluster_id").alias("new_cluster"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("_nk"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_cluster").isNull() & F.col("new_cluster").isNotNull(),
+            F.lit("clustered"),
+        )
+        .when(
+            F.col("old_cluster").isNotNull() & F.col("new_cluster").isNull(),
+            F.lit("unclustered"),
+        )
+        .when(F.col("_ok") == F.col("_nk"), F.lit("unchanged"))
+        .otherwise(F.lit("moved"))
+    )
+    return j.select(
+        F.col("_id").alias("id"),
+        "old_cluster",
+        "new_cluster",
+        status.alias("status"),
+    )
+
+
 MERGE_RULES = ("min", "max", "longest", "mode")
 
 

@@ -4131,6 +4131,90 @@ ORDER BY id1, id2
 """
 
 
+def q_linkage_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-churn audit: link 90% of customers, extend with the other
+    10% incrementally, and report per entity what the batch DID —
+    added / clustered / moved / unchanged — the MDM re-run diff. Oracle
+    recomputes both closures (90%-only and full) and the classification."""
+    from dedupe_spark.operators.linkage import (
+        assignment_churn,
+        link_incremental,
+        link_records,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 0)
+    batch = cust.filter(F.col("c_custkey") % 10 == 0)
+    kw = dict(
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        compare_col="c_name",
+        max_distance=2,
+    )
+    prior = link_records(old, **kw)
+    newer = link_incremental(old, batch, prior, **kw)
+    return assignment_churn(prior, newer).orderBy("id")
+
+
+SQL_LINKAGE_CHURN = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS id, c_name AS val, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey IS NOT NULL
+), old_recs AS (
+  SELECT * FROM recs WHERE id % 10 <> 0
+), old_pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM old_recs a JOIN old_recs b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment AND a.id < b.id
+  WHERE levenshtein(a.val, b.val) <= 2
+), old_sym AS (
+  SELECT id1 AS src, id2 AS dst FROM old_pairs
+  UNION ALL SELECT id2, id1 FROM old_pairs
+), old_reach(id, label) AS (
+  SELECT DISTINCT src, src FROM old_sym
+  UNION
+  SELECT s.dst, r.label FROM old_reach r JOIN old_sym s ON s.src = r.id
+), old_comp AS (
+  SELECT id, min(label) AS cluster_id FROM old_reach GROUP BY id
+), new_pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM recs a JOIN recs b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment AND a.id < b.id
+  WHERE levenshtein(a.val, b.val) <= 2
+), new_sym AS (
+  SELECT id1 AS src, id2 AS dst FROM new_pairs
+  UNION ALL SELECT id2, id1 FROM new_pairs
+), new_reach(id, label) AS (
+  SELECT DISTINCT src, src FROM new_sym
+  UNION
+  SELECT s.dst, r.label FROM new_reach r JOIN new_sym s ON s.src = r.id
+), new_comp AS (
+  SELECT id, min(label) AS cluster_id FROM new_reach GROUP BY id
+), olda AS (
+  SELECT r.id, oc.cluster_id AS old_cluster,
+         coalesce(oc.cluster_id, r.id) AS ok
+  FROM old_recs r LEFT JOIN old_comp oc ON oc.id = r.id
+), newa AS (
+  SELECT r.id, nc.cluster_id AS new_cluster,
+         coalesce(nc.cluster_id, r.id) AS nk
+  FROM recs r LEFT JOIN new_comp nc ON nc.id = r.id
+)
+SELECT coalesce(o.id, n.id) AS id, o.old_cluster, n.new_cluster,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN o.old_cluster IS NULL AND n.new_cluster IS NOT NULL
+              THEN 'clustered'
+            WHEN o.old_cluster IS NOT NULL AND n.new_cluster IS NULL
+              THEN 'unclustered'
+            WHEN o.ok = n.nk THEN 'unchanged'
+            ELSE 'moved' END AS status
+FROM olda o FULL OUTER JOIN newa n ON o.id = n.id
+ORDER BY id
+"""
+
+
 def q_fs_graded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded comparison levels (Splink's core comparison structure):
     the name field resolves exact ≫ levenshtein≤2 ≫ else, each level
@@ -4976,6 +5060,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
         "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
         "fs_graded_pairs": (q_fs_graded_pairs, SQL_FS_GRADED_PAIRS),
+        "linkage_churn": (q_linkage_churn, SQL_LINKAGE_CHURN),
         "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
         "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
         "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),

@@ -441,3 +441,22 @@ def test_link_records_with_constraints_cross_block_merge(spark):
     assert got[1]["cluster_id"] == got[6]["cluster_id"] == 1
     assert got[2]["cluster_id"] is None
     assert got[9]["cluster_id"] is None
+
+
+def test_assignment_churn_all_statuses(spark):
+    from dedupe_spark.operators.linkage import assignment_churn
+
+    old = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, None), (4, None), (5, 5), (6, 5), (9, None)],
+        "id int, cluster_id int",
+    )
+    new = spark.createDataFrame(
+        # 3 joins cluster 1; 5/6 dissolve; 7 appears; 9 gone; 1/2 stable
+        [(1, 1), (2, 1), (3, 1), (4, None), (5, None), (6, None), (7, None)],
+        "id int, cluster_id int",
+    )
+    got = {r["id"]: r["status"] for r in assignment_churn(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "unchanged", 3: "clustered", 4: "unchanged",
+        5: "unclustered", 6: "unclustered", 7: "added", 9: "removed",
+    }
