@@ -4131,6 +4131,70 @@ ORDER BY id1, id2
 """
 
 
+def q_collective_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collective ER (Bhattacharya & Getoor): name-ambiguous customer
+    pairs (Levenshtein ≤ 3 within nation — too weak alone) promoted by
+    relational evidence: ≥ 3 distinct co-purchased parts (orders ⋈
+    lineitem as the relation graph). Candidate-driven shared-neighbor
+    counting — cost scales with the 32k candidates × degree, never with
+    the bestseller part's C(df,2)."""
+    from dedupe_spark.operators.linkage import (
+        candidate_pairs,
+        relational_evidence,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pairs = candidate_pairs(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey"],
+        compare_col="c_name",
+    )
+    weak = pairs.select(
+        "id1",
+        "id2",
+        F.levenshtein("left_val", "right_val", 3).alias("distance"),
+    ).filter(F.col("distance").between(0, 3))
+    relations = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("id"), F.col("l_partkey").alias("neighbor")
+    )
+    return (
+        relational_evidence(weak, relations)
+        .filter(F.col("shared_neighbors") >= 3)
+        .select("id1", "id2", "distance", "shared_neighbors")
+        .orderBy("id1", "id2")
+    )
+
+
+SQL_COLLECTIVE_LINKAGE = """
+WITH cand AS (
+  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+         levenshtein(a.c_name, b.c_name) AS distance
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+    AND levenshtein(a.c_name, b.c_name) <= 3
+), cp AS (
+  SELECT DISTINCT o.o_custkey AS id, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sh AS (
+  SELECT c.id1, c.id2, count(*) AS shared_neighbors
+  FROM cand c
+  JOIN cp p1 ON p1.id = c.id1
+  JOIN cp p2 ON p2.id = c.id2 AND p2.pk = p1.pk
+  GROUP BY 1, 2
+)
+SELECT c.id1, c.id2, c.distance, sh.shared_neighbors
+FROM cand c JOIN sh ON sh.id1 = c.id1 AND sh.id2 = c.id2
+WHERE sh.shared_neighbors >= 3
+ORDER BY c.id1, c.id2
+"""
+
+
 def q_linkage_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-churn audit: link 90% of customers, extend with the other
     10% incrementally, and report per entity what the batch DID —
@@ -5061,6 +5125,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
         "fs_graded_pairs": (q_fs_graded_pairs, SQL_FS_GRADED_PAIRS),
         "linkage_churn": (q_linkage_churn, SQL_LINKAGE_CHURN),
+        "collective_linkage": (q_collective_linkage, SQL_COLLECTIVE_LINKAGE),
         "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
         "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
         "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),

@@ -460,3 +460,18 @@ def test_assignment_churn_all_statuses(spark):
         1: "unchanged", 2: "unchanged", 3: "clustered", 4: "unchanged",
         5: "unclustered", 6: "unclustered", 7: "added", 9: "removed",
     }
+
+
+def test_relational_evidence_counts_shared_distinct_neighbors(spark):
+    from dedupe_spark.operators.linkage import relational_evidence
+
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id1 int, id2 int")
+    rel = spark.createDataFrame(
+        # 1 and 2 share n1, n2 (n2 duplicated on id 1 -> still counts once)
+        [(1, "n1"), (1, "n2"), (1, "n2"), (2, "n1"), (2, "n2"), (2, "n9"),
+         (3, "nz")],
+        "id int, neighbor string",
+    )
+    got = {(r["id1"], r["id2"]): r["shared_neighbors"]
+           for r in relational_evidence(pairs, rel).collect()}
+    assert got == {(1, 2): 2, (1, 3): 0}
