@@ -4133,7 +4133,7 @@ ORDER BY id1, id2
 
 def q_collective_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collective ER (Bhattacharya & Getoor): name-ambiguous customer
-    pairs (Levenshtein ≤ 3 within nation — too weak alone) promoted by
+    pairs (Levenshtein ≤ 3 within (nation, segment) — too weak alone) promoted by
     relational evidence: ≥ 3 distinct co-purchased parts (orders ⋈
     lineitem as the relation graph). Candidate-driven shared-neighbor
     counting — cost scales with the 32k candidates × degree, never with
@@ -4149,7 +4149,7 @@ def q_collective_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = candidate_pairs(
         cust,
         id_col="c_custkey",
-        block_cols=["c_nationkey"],
+        block_cols=["c_nationkey", "c_mktsegment"],
         compare_col="c_name",
     )
     weak = pairs.select(
@@ -4175,7 +4175,9 @@ WITH cand AS (
   SELECT a.c_custkey AS id1, b.c_custkey AS id2,
          levenshtein(a.c_name, b.c_name) AS distance
   FROM customer a JOIN customer b
-    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
   WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
     AND levenshtein(a.c_name, b.c_name) <= 3
 ), cp AS (
@@ -4284,8 +4286,9 @@ def q_fs_graded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the name field resolves exact ≫ levenshtein≤2 ≫ else, each level
     with its own m/u (Σ=1 per field — they are distributions over
     levels), so a near-typo earns most-but-not-all of an exact match's
-    evidence. Blocked on nation; pairs kept at ≥ 8 bits with the fired
-    name level reported."""
+    evidence. Blocked on (nation, segment) — seg then trivially agrees,
+    exercising the two-level fields alongside the graded one; pairs kept
+    at ≥ 8 bits with the fired name level reported."""
     import math
 
     from dedupe_spark.operators.fellegi import (
@@ -4303,7 +4306,10 @@ def q_fs_graded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kb"),
     )
     pairs = field_pairs(
-        ent, id_col="id", block_cols=["nat"], fields=["nm", "seg", "bal_kb"]
+        ent,
+        id_col="id",
+        block_cols=["nat", "seg"],
+        fields=["nm", "seg", "bal_kb"],
     )
     graded = {
         "nm": [
@@ -4361,7 +4367,8 @@ WITH recs AS (
           WHEN a.bal_kb = b.bal_kb
             THEN cast({__import__("math").log2(0.85 / 0.09)!r} AS double)
           ELSE cast({__import__("math").log2(0.15 / 0.91)!r} AS double) END) AS w
-  FROM recs a JOIN recs b ON a.nat = b.nat AND a.id < b.id
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
 )
 SELECT id1, id2, level_nm, round(w, 4) AS match_weight
 FROM scored WHERE w >= 8.0 ORDER BY id1, id2
