@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                                     "against an existing run")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--run-id", required=True)
+    p.add_argument("--report-density", action="store_true",
+                   help="write the per-cluster edge-density QA table "
+                        "(cluster_edge_stats) — levenshtein comparator only")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -209,6 +212,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         cat.replace(golden, run("golden"))
         report["n_golden"] = cat.rows(run("golden"))
+
+    if args.report_density:
+        if args.comparator != "levenshtein" or args.update:
+            raise SystemExit(
+                "--report-density requires the levenshtein comparator "
+                "(edges must be recomputable from the config)"
+            )
+        pairs = linkage.candidate_pairs(
+            cat.read(run("entities")), id_col=args.id_col,
+            block_cols=block_cols, compare_col=args.compare_col,
+            max_block=args.max_block,
+        )
+        edges = linkage.score_pairs(
+            pairs, max_distance=args.max_distance
+        ).select("id1", "id2")
+        density = linkage.cluster_edge_stats(assign_tbl, edges)
+        cat.replace(density, run("density"))
+        chained = density.filter(~F.col("is_clique")).count()
+        report["n_scored_clusters"] = cat.rows(run("density"))
+        report["n_chained_clusters"] = chained
 
     print(json.dumps(report))
     return 0

@@ -149,3 +149,28 @@ def test_second_update_keeps_first_batch(entities_parquet, capsys, tmp_path, spa
         f"{wh}/u2/assignment").collect()}
     # 9 links to 8 (lev 1) — possible only if batch 1 survived
     assert assign[8] == 8 and assign[9] == 8
+
+
+def test_report_density_writes_qa_table(entities_parquet, capsys, tmp_path, spark):
+    wh = str(tmp_path / "wh")
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "dq1",
+        "--report-density", "--quiet",
+    ])
+    assert rc == 0
+    rep = _report(capsys)
+    assert rep["n_scored_clusters"] == 2
+    dens = {r["cluster_id"]: r for r in spark.read.parquet(
+        f"{wh}/dq1/density").collect()}
+    # cluster {1,2,3}: edges (1,2),(1,3),(2,3)? 2-3 is lev 3 -> chain of 2
+    assert dens[1]["n_members"] == 3
+    assert dens[4]["n_members"] == 2 and dens[4]["is_clique"]
+
+
+def test_report_density_rejected_for_update_and_jw(entities_parquet, tmp_path):
+    wh = str(tmp_path / "wh")
+    with pytest.raises(SystemExit):
+        main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+              "--compare-col", "name", "--comparator", "jaro_winkler",
+              "--warehouse", wh, "--run-id", "x", "--report-density"])
