@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fs-threshold", type=float, default=4.0)
     p.add_argument("--max-block", type=int, default=DEFAULT_MAX_BLOCK)
     p.add_argument("--merge", help=MERGE_HELP)
+    p.add_argument("--must-link",
+                   help="parquet of (id1,id2) curated-match overrides "
+                        "(levenshtein comparator only)")
+    p.add_argument("--cannot-link",
+                   help="parquet of (id1,id2) curated-non-match overrides "
+                        "(levenshtein comparator only)")
     p.add_argument("--update", help="parquet path of a new batch to link "
                                     "against an existing run")
     p.add_argument("--warehouse", required=True)
@@ -87,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"--compare-col required for {args.comparator}")
     if args.comparator == "fellegi" and not args.fs_fields:
         raise SystemExit("--fs-fields required for fellegi")
+    if (args.must_link or args.cannot_link) and (
+        args.comparator != "levenshtein" or args.update
+    ):
+        raise SystemExit(
+            "--must-link/--cannot-link require the levenshtein comparator "
+            "and a full (non --update) run"
+        )
     merge_rules = _parse_rules(args.merge) if args.merge else None
 
     from pyspark.sql import functions as F
@@ -124,7 +137,12 @@ def main(argv: list[str] | None = None) -> int:
             batch[args.id_col] == F.col("_x"), "left_anti",
         ))
     elif args.comparator == "levenshtein":
-        assign = linkage.link_records(df, **kw)
+        constraints = {}
+        if args.must_link:
+            constraints["must_link"] = spark.read.parquet(args.must_link)
+        if args.cannot_link:
+            constraints["cannot_link"] = spark.read.parquet(args.cannot_link)
+        assign = linkage.link_records(df, **kw, **constraints)
         entities = df
     elif args.comparator == "jaro_winkler":
         from dedupe_spark.operators.cc import partitioned_components

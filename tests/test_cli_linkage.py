@@ -174,3 +174,25 @@ def test_report_density_rejected_for_update_and_jw(entities_parquet, tmp_path):
         main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
               "--compare-col", "name", "--comparator", "jaro_winkler",
               "--warehouse", wh, "--run-id", "x", "--report-density"])
+
+
+def test_constraint_overrides_via_cli(entities_parquet, capsys, tmp_path, spark):
+    wh = str(tmp_path / "wh")
+    must = str(tmp_path / "must.parquet")
+    cannot = str(tmp_path / "cannot.parquet")
+    spark.createDataFrame([(1, 6)], "id1 int, id2 int").write.parquet(must)
+    spark.createDataFrame([(4, 5)], "id1 int, id2 int").write.parquet(cannot)
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "c1",
+        "--must-link", must, "--cannot-link", cannot, "--quiet",
+    ])
+    assert rc == 0
+    assign = {r["id"]: r["cluster_id"] for r in spark.read.parquet(
+        f"{wh}/c1/assignment").collect()}
+    assert assign[6] == 1          # cross-block must-link honored
+    assert assign[4] is None and assign[5] is None  # cannot-link severed
+    with pytest.raises(SystemExit):
+        main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+              "--compare-col", "name", "--comparator", "jaro_winkler",
+              "--warehouse", wh, "--run-id", "c2", "--must-link", must])
