@@ -1142,8 +1142,9 @@ WITH t AS (
   FROM documents
 ), o AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
   FROM t
 )
 SELECT doc_id, n_tokens, start_off,
@@ -3367,7 +3368,7 @@ WITH words AS (
          n
   FROM hist WHERE length(word) >= 2
 )
-SELECT pair, sum(n) AS cnt
+SELECT pair, cast(sum(n) AS BIGINT) AS cnt
 FROM pairs
 GROUP BY pair
 ORDER BY cnt DESC, pair
@@ -3789,7 +3790,7 @@ WITH recs AS (
 ), n AS (SELECT count(*) AS nn FROM recs)
 SELECT field,
        (SELECT nn FROM n) AS n,
-       sum(c) AS n_nonnull,
+       cast(sum(c) AS BIGINT) AS n_nonnull,
        count(*) AS n_distinct,
        round(sum(c*(c-1)/2.0) / ((SELECT nn FROM n)*((SELECT nn FROM n)-1)/2.0),
              6) AS u
@@ -5045,7 +5046,7 @@ WITH recs AS (
   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
 ), tru AS (
   SELECT coalesce(sum(s*(s-1)/2.0), 0.0) AS true_pairs,
-         coalesce(sum(s), 0) AS n_items
+         cast(coalesce(sum(s), 0) AS BIGINT) AS n_items
   FROM (SELECT count(*) AS s FROM recs GROUP BY truth_key)
 ), prd AS (
   SELECT coalesce(sum(s*(s-1)/2.0), 0.0) AS pred_pairs
@@ -5081,9 +5082,77 @@ FROM base
 
 
 def registry() -> dict[str, tuple[Callable, str | None]]:
-    """name → (query fn, oracle SQL or None for rows-only checks)."""
+    """name → (query fn, oracle SQL or None for rows-only checks).
+
+    ORDER MATTERS for the driver's correctness gate, which checks a prefix
+    of this dict each round (~50 queries in r4). Front-loaded: (a) the 24
+    queries that had never earned a driver CORRECTNESS row through r4,
+    (b) the two rows red-on-hash in r4 (oracle sum()-type casts fixed),
+    then (c) the flagship ER/dedup queries worth re-confirming every round.
+    """
     return {
+        # --- (a) never driver-checked through r4 — front-loaded for r5 ---
+        "blocking_scheme_search": (
+            q_blocking_scheme_search,
+            SQL_BLOCKING_SCHEME_SEARCH,
+        ),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+        "code_quality": (q_code_quality, SQL_CODE_QUALITY),
+        "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),
+        "repo_forks": (q_repo_forks, SQL_REPO_FORKS),
+        "fork_clusters": (q_fork_clusters, SQL_FORK_CLUSTERS),
+        "clone_groups": (q_clone_groups, SQL_CLONE_GROUPS),
+        "license_detect": (q_license_detect, SQL_LICENSE_DETECT),
+        "dependency_census": (q_dependency_census, SQL_DEPENDENCY_CENSUS),
+        "function_clones": (q_function_clones, SQL_FUNCTION_CLONES),
+        "docstring_pairs": (q_docstring_pairs, SQL_DOCSTRING_PAIRS),
+        "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+        "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+        "path_classes": (q_path_classes, SQL_PATH_CLASSES),
+        "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
+        "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+        "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+        "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+        "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+        "quantized_knn": (q_quantized_knn, SQL_QUANTIZED_KNN),
+        "semdedup": (q_semdedup, SQL_SEMDEDUP),
+        "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+        # --- (b) red-on-hash in r4; oracle sum() now CAST to BIGINT ---
+        "fs_u_probabilities": (q_fs_u_probabilities, SQL_FS_U_PROBABILITIES),
+        "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
+        # --- (c) flagship re-confirmations ---
+        "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),
+        "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
+        # oracle = the ONE-SHOT twin: incremental must equal it exactly
+        "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
+        "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, SQL_MINHASH_LSH_DEDUPE),
+        "simhash_dedupe": (q_simhash_dedupe, SQL_SIMHASH_DEDUPE),
+        "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "exact_dedupe": (q_exact_dedupe, SQL_EXACT_DEDUPE),
+        "fs_link": (q_fs_link, SQL_FS_LINK),
+        "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
+        # oracle is BRUTE-FORCE all-pairs + closure: a prefix-filter recall
+        # loss would surface as a row mismatch, proving losslessness
+        "ppjoin_dedupe": (q_ppjoin_dedupe, SQL_PPJOIN_DEDUPE),
+        "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
+        "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
+        "pprl_dice_pairs": (q_pprl_dice_pairs, SQL_PPRL_DICE_PAIRS),
+        "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
+        "fs_match_pairs": (q_fs_match_pairs, SQL_FS_MATCH_PAIRS),
+        "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
+        "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
+        "fs_graded_pairs": (q_fs_graded_pairs, SQL_FS_GRADED_PAIRS),
+        "linkage_churn": (q_linkage_churn, SQL_LINKAGE_CHURN),
+        "collective_linkage": (q_collective_linkage, SQL_COLLECTIVE_LINKAGE),
+        "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
+        "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
+        "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),
+        "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
+        "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
+        "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
+        # --- remainder (all driver-green in r1-r4) ---
         "wordset_dedupe": (q_wordset_dedupe, SQL_WORDSET_DEDUPE),
         "row_dedupe_stats": (q_row_dedupe_stats, SQL_ROW_DEDUPE_STATS),
         "group_stats": (q_group_stats, SQL_GROUP_STATS),
@@ -5105,72 +5174,19 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
         "cross_dedupe": (q_cross_dedupe, SQL_CROSS_DEDUPE),
-        "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),
         "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
         "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
         "paragraph_dedupe": (q_paragraph_dedupe, SQL_PARAGRAPH_DEDUPE),
         "span_dedupe": (q_span_dedupe, SQL_SPAN_DEDUPE),
-        "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
-        "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
-        "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
-        "fs_u_probabilities": (q_fs_u_probabilities, SQL_FS_U_PROBABILITIES),
-        "fs_match_pairs": (q_fs_match_pairs, SQL_FS_MATCH_PAIRS),
-        "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
-        "meta_blocking": (q_meta_blocking, SQL_META_BLOCKING),
-        "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
-        "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
-        # oracle is BRUTE-FORCE all-pairs + closure: a prefix-filter recall
-        # loss would surface as a row mismatch, proving losslessness
-        "ppjoin_dedupe": (q_ppjoin_dedupe, SQL_PPJOIN_DEDUPE),
-        "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
-        "pprl_dice_pairs": (q_pprl_dice_pairs, SQL_PPRL_DICE_PAIRS),
-        "phonetic_blocking": (q_phonetic_blocking, SQL_PHONETIC_BLOCKING),
-        # oracle = the ONE-SHOT twin: incremental must equal it exactly
-        "incremental_linkage": (q_incremental_linkage, SQL_RECORD_LINKAGE),
-        "fs_link": (q_fs_link, SQL_FS_LINK),
-        "fs_tf_match_pairs": (q_fs_tf_match_pairs, SQL_FS_TF_MATCH_PAIRS),
-        "fs_review_queue": (q_fs_review_queue, SQL_FS_REVIEW_QUEUE),
-        "fs_graded_pairs": (q_fs_graded_pairs, SQL_FS_GRADED_PAIRS),
-        "linkage_churn": (q_linkage_churn, SQL_LINKAGE_CHURN),
-        "collective_linkage": (q_collective_linkage, SQL_COLLECTIVE_LINKAGE),
-        "snm_multipass": (q_snm_multipass, SQL_SNM_MULTIPASS),
-        "one_to_one_linkage": (q_one_to_one_linkage, SQL_ONE_TO_ONE_LINKAGE),
-        "cluster_density": (q_cluster_density, SQL_CLUSTER_DENSITY),
-        "blocking_scheme_search": (
-            q_blocking_scheme_search,
-            SQL_BLOCKING_SCHEME_SEARCH,
-        ),
-        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-        "code_quality": (q_code_quality, SQL_CODE_QUALITY),
-        "secret_redaction": (q_secret_redaction, SQL_SECRET_REDACTION),
-        "repo_forks": (q_repo_forks, SQL_REPO_FORKS),
-        "fork_clusters": (q_fork_clusters, SQL_FORK_CLUSTERS),
-        "clone_groups": (q_clone_groups, SQL_CLONE_GROUPS),
-        "license_detect": (q_license_detect, SQL_LICENSE_DETECT),
-        "dependency_census": (q_dependency_census, SQL_DEPENDENCY_CENSUS),
-        "function_clones": (q_function_clones, SQL_FUNCTION_CLONES),
-        "docstring_pairs": (q_docstring_pairs, SQL_DOCSTRING_PAIRS),
-        "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-        "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
-        "path_classes": (q_path_classes, SQL_PATH_CLASSES),
-        "pack_offsets": (q_pack_offsets, SQL_PACK_OFFSETS),
-        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-        "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
         "train_split": (q_train_split, SQL_TRAIN_SPLIT),
-        "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
-        "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
         "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-        "ngram_jaccard_dedupe": (q_ngram_jaccard_dedupe, SQL_NGRAM_JACCARD_DEDUPE),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
-        "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
-        "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
-        "quantized_knn": (q_quantized_knn, SQL_QUANTIZED_KNN),
         "ivf_full_probe": (q_ivf_full_probe, SQL_KNN_COSINE),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
         "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
@@ -5182,11 +5198,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
         "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-        "minhash_lsh_dedupe": (q_minhash_lsh_dedupe, SQL_MINHASH_LSH_DEDUPE),
-        "simhash_dedupe": (q_simhash_dedupe, SQL_SIMHASH_DEDUPE),
-        "semdedup": (q_semdedup, SQL_SEMDEDUP),
         "ann_topk": (q_ann_topk, None),
-        "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "ivf_topk": (q_ivf_topk, None),
         "media_features": (q_media_features, SQL_MEDIA_FEATURES),
         "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
