@@ -49,6 +49,12 @@ from dedupe_spark.operators.cc import (
 # key, not more compute. Same philosophy as blocking.py's bucket cap.
 DEFAULT_MAX_BLOCK = 10_000
 
+# Default sorted-neighborhood window for over-cap blocks: a block whose
+# key stopped discriminating still gets O(n·w) candidates instead of
+# zero (Hernández & Stolfo's sliding window, applied as the skew
+# DEGRADATION path rather than the primary blocker).
+DEFAULT_HOT_BLOCK_WINDOW = 20
+
 
 def candidate_pairs(
     df: DataFrame,
@@ -57,12 +63,27 @@ def candidate_pairs(
     block_cols: list[str],
     compare_col: str,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    hot_block_window: int | None = DEFAULT_HOT_BLOCK_WINDOW,
 ) -> DataFrame:
     """Within-block candidate pairs with the comparison attribute on
-    both sides: (id1, id2, left_val, right_val, *block_cols), id1 < id2.
+    both sides: (id1, id2, left_val, right_val, *block_cols,
+    from_hot_block), id1 < id2.
 
     ``max_block=None`` disables the skew guard (small curated inputs
-    only — never at corpus scale).
+    only — never at corpus scale). Blocks OVER the cap are not dropped
+    (the r4 recall cliff): their records are routed through
+    :func:`sorted_neighborhood_pairs` sorted by (block, value) —
+    O(n·w) candidates for a hot block of n rows, so the pathological
+    "NULL city" block degrades to a sliding-window comparison instead
+    of silently losing every match. Seam pairs where the sliding
+    window crosses a block boundary are filtered, preserving the
+    "edges never cross a block" invariant. ``hot_block_window=None``
+    restores the hard-drop behavior (over-cap records get no pairs).
+
+    ``from_hot_block`` is a per-branch LITERAL, so a downstream filter
+    on it constant-folds through the union and prunes the other
+    branch's whole subtree — callers routing hot edges to a different
+    clustering strategy pay zero extra scans.
     """
     keyed = df.select(
         F.col(id_col).alias("_rid"),
@@ -70,6 +91,7 @@ def candidate_pairs(
         *[F.col(c) for c in block_cols],
     ).filter(F.col("_rid").isNotNull() & F.col("_val").isNotNull())
 
+    hot_pairs = None
     if max_block is not None:
         # partial-agg block census; the over-cap set is tiny by
         # construction (it's the pathological tail), so broadcast it
@@ -79,7 +101,15 @@ def candidate_pairs(
             .filter(F.col("_n") > max_block)
             .select(*block_cols)
         )
-        keyed = keyed.join(F.broadcast(hot), block_cols, "left_anti")
+        cold = keyed.join(F.broadcast(hot), block_cols, "left_anti")
+        if hot_block_window is not None:
+            hot_rows = keyed.join(F.broadcast(hot), block_cols, "left_semi")
+            hot_pairs = _hot_block_snm_pairs(
+                hot_rows,
+                block_cols=block_cols,
+                window=hot_block_window,
+            )
+        keyed = cold
 
     a = keyed.select(
         *[F.col(c) for c in block_cols],
@@ -93,8 +123,57 @@ def candidate_pairs(
     )
     # block cols ride along: downstream clustering exploits the fact that
     # edges never cross a block (partitioned_components)
-    return a.join(b, block_cols).filter(F.col("id1") < F.col("id2")).select(
-        "id1", "id2", "left_val", "right_val", *block_cols
+    out = (
+        a.join(b, block_cols)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            "left_val",
+            "right_val",
+            *block_cols,
+            F.lit(False).alias("from_hot_block"),
+        )
+    )
+    if hot_pairs is not None:
+        out = out.unionByName(hot_pairs)
+    return out
+
+
+def _hot_block_snm_pairs(
+    hot_rows: DataFrame, *, block_cols: list[str], window: int
+) -> DataFrame:
+    """Sorted-neighborhood candidates WITHIN over-cap blocks.
+
+    One distributed rank over all hot rows sorted by (block, value, id)
+    — blocks are contiguous in that order, so a w-window pass yields
+    within-block near-value pairs; the ≤ w-1 seam pairs per block
+    boundary are dropped by the block-equality filter. Output matches
+    :func:`candidate_pairs`' schema with ``from_hot_block = True``;
+    pairs are re-oriented to the id1 < id2 convention (SNM orients by
+    rank, which follows the VALUE sort, not id order)."""
+    snm = sorted_neighborhood_pairs(
+        hot_rows.select("_rid", "_val", *block_cols),
+        id_col="_rid",
+        sort_cols=[*block_cols, "_val"],
+        window=window,
+        carry_sort_cols=True,
+    )
+    same_block = F.lit(True)
+    for c in block_cols:
+        same_block = same_block & (F.col(f"l_{c}") == F.col(f"r_{c}"))
+    swap = F.col("id1") > F.col("id2")
+    return snm.filter(same_block).select(
+        F.least("id1", "id2").alias("id1"),
+        F.greatest("id1", "id2").alias("id2"),
+        F.when(swap, F.col("r__val")).otherwise(F.col("l__val")).alias(
+            "left_val"
+        ),
+        F.when(swap, F.col("l__val")).otherwise(F.col("r__val")).alias(
+            "right_val"
+        ),
+        *[F.col(f"l_{c}").alias(c) for c in block_cols],
+        F.lit(True).alias("from_hot_block"),
     )
 
 
@@ -155,6 +234,7 @@ def link_records(
     compare_col: str,
     max_distance: int = 2,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    hot_block_window: int | None = DEFAULT_HOT_BLOCK_WINDOW,
     must_link: DataFrame | None = None,
     cannot_link: DataFrame | None = None,
 ) -> DataFrame:
@@ -168,6 +248,16 @@ def link_records(
     blocks, so the constrained path clusters with the GLOBAL iterative
     CC instead of the per-block solver — constraints cost the O(log n)
     star rounds; leave them None on the pure-blocked fast path.
+
+    Over-cap blocks contribute sorted-neighborhood candidates (see
+    :func:`candidate_pairs`); their edges are clustered with the global
+    iterative CC, NOT the per-block solver — a hot block is exactly the
+    block whose edge set must not land in one task. Components still
+    never span a block, so the per-block and global labelings compose
+    by disjoint union. The hot/cold split filters constant-fold through
+    the candidate union (``from_hot_block`` is a branch literal), so
+    the common no-hot-block case pays one empty-edge-set probe, never a
+    second scan.
     """
     pairs = candidate_pairs(
         df,
@@ -175,8 +265,13 @@ def link_records(
         block_cols=block_cols,
         compare_col=compare_col,
         max_block=max_block,
+        hot_block_window=hot_block_window,
     )
-    edges = score_pairs(pairs, max_distance=max_distance, carry=block_cols)
+    edges = score_pairs(
+        pairs,
+        max_distance=max_distance,
+        carry=[*block_cols, "from_hot_block"],
+    )
     if must_link is not None or cannot_link is not None:
         constrained = apply_constraints(
             edges.select("id1", "id2"),
@@ -191,7 +286,14 @@ def link_records(
         # cost a checkpointed multi-shuffle job per round — the match
         # graph of near-identical entity names is chain-shaped, the
         # star rounds' worst case)
-        comp = partitioned_components(edges, key_cols=block_cols)
+        comp = partitioned_components(
+            edges.filter(~F.col("from_hot_block")), key_cols=block_cols
+        )
+        if hot_block_window is not None:
+            hot_comp = connected_components(
+                edges.filter(F.col("from_hot_block")).select("id1", "id2")
+            )
+            comp = comp.unionByName(hot_comp)
     else:
         comp = connected_components(edges.select("id1", "id2"))
 
