@@ -4447,6 +4447,171 @@ ORDER BY r.id
 """
 
 
+def q_fs_em_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-trained Fellegi–Sunter linkage (Winkler 1988; Splink's
+    unsupervised training): agreement patterns → driver-side EM fixed
+    point (fellegi.py estimate_m_u — deterministic: fixed init, fixed 30
+    iterations) → score with the LEARNED m/u → threshold → transitive
+    clustering. The DuckDB twin recomputes the ENTIRE arc including the
+    EM fixed point via a recursive CTE over the ≤3^F-row contingency
+    table (aggregation in the recursive term, same init / iteration
+    count / clamps / multiply order as the Python E-step), so the
+    unsupervised-training path gets a value-level oracle, not a
+    rows-only check. Output is the discrete assignment shape — cluster
+    decisions only flip if a pair's weight sits within float noise of
+    the threshold, so the oracle is robust to last-ulp EM drift."""
+    from dedupe_spark.operators.fellegi import (
+        agreement_patterns,
+        estimate_m_u,
+        field_pairs,
+        fs_link,
+        fs_score,
+    )
+
+    ent = _fs_entities(spark, sf_dir)
+    pairs = field_pairs(
+        ent, id_col="id", block_cols=["nat"], fields=_FS_FIELDS
+    )
+    # agree flags don't depend on m/u — neutral placeholders
+    neutral = {f: 0.5 for f in _FS_FIELDS}
+    flagged = fs_score(pairs, fields=_FS_FIELDS, m=neutral, u=neutral)
+    pats = agreement_patterns(flagged, fields=_FS_FIELDS)
+    m, u, _lam = estimate_m_u(pats, fields=_FS_FIELDS, n_iter=30)
+    return fs_link(
+        ent,
+        id_col="id",
+        block_cols=["nat"],
+        fields=_FS_FIELDS,
+        m=m,
+        u=u,
+        threshold_weight=4.0,
+    ).orderBy("id")
+
+
+# The EM fixed point runs INSIDE the SQL: `em` is a recursive CTE whose
+# state row carries (m, u, λ) per field; each recursion joins the ≤27-row
+# agreement-pattern table, computes responsibilities with the SAME
+# left-to-right multiply order as fellegi.estimate_m_u (λ·t_seg·t_bal·t_sfx
+# — null agreement multiplies by literal 1.0, IEEE-exact), and aggregates
+# the M-step with the same 1e-9 clamps and den>0 guards. 30 iterations,
+# init m=.9 u=.1 λ=.01 — byte-matching the Python defaults.
+SQL_FS_EM_LINK = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         cast(floor(c_acctbal/1000) AS int) AS bal_kb,
+         substr(c_name, -2) AS name_sfx
+  FROM customer
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2,
+         CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN NULL
+              ELSE a.seg = b.seg END AS a_seg,
+         CASE WHEN a.bal_kb IS NULL OR b.bal_kb IS NULL THEN NULL
+              ELSE a.bal_kb = b.bal_kb END AS a_bal,
+         CASE WHEN a.name_sfx IS NULL OR b.name_sfx IS NULL THEN NULL
+              ELSE a.name_sfx = b.name_sfx END AS a_sfx
+  FROM recs a JOIN recs b ON a.nat = b.nat AND a.id < b.id
+  WHERE a.id IS NOT NULL AND a.nat IS NOT NULL
+), pats AS (
+  SELECT a_seg, a_bal, a_sfx, cast(count(*) AS DOUBLE) AS n
+  FROM pairs GROUP BY a_seg, a_bal, a_sfx
+), tot AS (SELECT sum(n) AS t FROM pats),
+em(it, ms, mb, mx, us_, ub_, ux_, lam) AS (
+  SELECT 0, cast(0.9 AS DOUBLE), cast(0.9 AS DOUBLE), cast(0.9 AS DOUBLE),
+         cast(0.1 AS DOUBLE), cast(0.1 AS DOUBLE), cast(0.1 AS DOUBLE),
+         cast(0.01 AS DOUBLE)
+  UNION ALL
+  SELECT it + 1,
+    CASE WHEN coalesce(sum(CASE WHEN a_seg IS NOT NULL THEN n*g END), 0) > 0
+         THEN least(greatest(
+              coalesce(sum(CASE WHEN a_seg THEN n*g END), 0)
+            / sum(CASE WHEN a_seg IS NOT NULL THEN n*g END), 1e-9), 1.0 - 1e-9)
+         ELSE ms END,
+    CASE WHEN coalesce(sum(CASE WHEN a_bal IS NOT NULL THEN n*g END), 0) > 0
+         THEN least(greatest(
+              coalesce(sum(CASE WHEN a_bal THEN n*g END), 0)
+            / sum(CASE WHEN a_bal IS NOT NULL THEN n*g END), 1e-9), 1.0 - 1e-9)
+         ELSE mb END,
+    CASE WHEN coalesce(sum(CASE WHEN a_sfx IS NOT NULL THEN n*g END), 0) > 0
+         THEN least(greatest(
+              coalesce(sum(CASE WHEN a_sfx THEN n*g END), 0)
+            / sum(CASE WHEN a_sfx IS NOT NULL THEN n*g END), 1e-9), 1.0 - 1e-9)
+         ELSE mx END,
+    CASE WHEN coalesce(sum(CASE WHEN a_seg IS NOT NULL THEN n*(1.0-g) END), 0) > 0
+         THEN least(greatest(
+              coalesce(sum(CASE WHEN a_seg THEN n*(1.0-g) END), 0)
+            / sum(CASE WHEN a_seg IS NOT NULL THEN n*(1.0-g) END), 1e-9), 1.0 - 1e-9)
+         ELSE us_ END,
+    CASE WHEN coalesce(sum(CASE WHEN a_bal IS NOT NULL THEN n*(1.0-g) END), 0) > 0
+         THEN least(greatest(
+              coalesce(sum(CASE WHEN a_bal THEN n*(1.0-g) END), 0)
+            / sum(CASE WHEN a_bal IS NOT NULL THEN n*(1.0-g) END), 1e-9), 1.0 - 1e-9)
+         ELSE ub_ END,
+    CASE WHEN coalesce(sum(CASE WHEN a_sfx IS NOT NULL THEN n*(1.0-g) END), 0) > 0
+         THEN least(greatest(
+              coalesce(sum(CASE WHEN a_sfx THEN n*(1.0-g) END), 0)
+            / sum(CASE WHEN a_sfx IS NOT NULL THEN n*(1.0-g) END), 1e-9), 1.0 - 1e-9)
+         ELSE ux_ END,
+    least(greatest(sum(n*g) / (SELECT t FROM tot), 1e-9), 1.0 - 1e-9)
+  FROM (
+    SELECT x.*,
+           CASE WHEN pm + pu > 0 THEN pm / (pm + pu) ELSE 0.0 END AS g
+    FROM (
+      SELECT e.it, e.ms, e.mb, e.mx, e.us_, e.ub_, e.ux_, e.lam,
+             p.a_seg, p.a_bal, p.a_sfx, p.n,
+             e.lam
+               * (CASE WHEN p.a_seg IS NULL THEN 1.0
+                       WHEN p.a_seg THEN e.ms ELSE 1.0 - e.ms END)
+               * (CASE WHEN p.a_bal IS NULL THEN 1.0
+                       WHEN p.a_bal THEN e.mb ELSE 1.0 - e.mb END)
+               * (CASE WHEN p.a_sfx IS NULL THEN 1.0
+                       WHEN p.a_sfx THEN e.mx ELSE 1.0 - e.mx END) AS pm,
+             (1.0 - e.lam)
+               * (CASE WHEN p.a_seg IS NULL THEN 1.0
+                       WHEN p.a_seg THEN e.us_ ELSE 1.0 - e.us_ END)
+               * (CASE WHEN p.a_bal IS NULL THEN 1.0
+                       WHEN p.a_bal THEN e.ub_ ELSE 1.0 - e.ub_ END)
+               * (CASE WHEN p.a_sfx IS NULL THEN 1.0
+                       WHEN p.a_sfx THEN e.ux_ ELSE 1.0 - e.ux_ END) AS pu
+      FROM em e, pats p WHERE e.it < 30
+    ) x
+  ) r
+  GROUP BY it, ms, mb, mx, us_, ub_, ux_, lam
+), fin AS (
+  SELECT * FROM em WHERE it = 30
+), edges AS (
+  SELECT id1, id2 FROM pairs, fin
+  WHERE (CASE WHEN a_seg IS NULL THEN 0.0
+              WHEN a_seg THEN log2(ms / us_)
+              ELSE log2((1.0 - ms) / (1.0 - us_)) END
+       + CASE WHEN a_bal IS NULL THEN 0.0
+              WHEN a_bal THEN log2(mb / ub_)
+              ELSE log2((1.0 - mb) / (1.0 - ub_)) END
+       + CASE WHEN a_sfx IS NULL THEN 0.0
+              WHEN a_sfx THEN log2(mx / ux_)
+              ELSE log2((1.0 - mx) / (1.0 - ux_)) END) >= 4.0
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM edges
+  UNION ALL SELECT id2, id1 FROM edges
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT r.id, comp.cluster_id, sized.cluster_size,
+       CASE WHEN comp.cluster_id IS NULL THEN NULL
+            ELSE r.id = comp.cluster_id END AS is_representative
+FROM recs r
+LEFT JOIN comp ON comp.id = r.id
+LEFT JOIN sized ON sized.cluster_id = comp.cluster_id
+WHERE r.id IS NOT NULL
+ORDER BY r.id
+"""
+
+
 def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental linkage equivalence, value-oracled: link 90% of the
     customers, then extend with the remaining 10% via
@@ -5122,6 +5287,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # --- (b) red-on-hash in r4; oracle sum() now CAST to BIGINT ---
         "fs_u_probabilities": (q_fs_u_probabilities, SQL_FS_U_PROBABILITIES),
         "cluster_agreement": (q_cluster_agreement, SQL_CLUSTER_AGREEMENT),
+        # EM-trained FS (new r5): oracle recomputes the EM fixed point in
+        # a recursive CTE — the last unveiled ER path gets a value oracle
+        "fs_em_link": (q_fs_em_link, SQL_FS_EM_LINK),
         # --- (c) flagship re-confirmations ---
         "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),
         "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
