@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dedupe_spark.operators.cc import (
     connected_components,
@@ -237,6 +238,7 @@ def link_records(
     hot_block_window: int | None = DEFAULT_HOT_BLOCK_WINDOW,
     must_link: DataFrame | None = None,
     cannot_link: DataFrame | None = None,
+    cannot_link_mode: str = "edge",
 ) -> DataFrame:
     """Full linkage: every input record → (id, cluster_id, cluster_size,
     is_representative). Singletons get cluster_id null (the reference's
@@ -248,6 +250,18 @@ def link_records(
     blocks, so the constrained path clusters with the GLOBAL iterative
     CC instead of the per-block solver — constraints cost the O(log n)
     star rounds; leave them None on the pure-blocked fast path.
+
+    ``cannot_link_mode`` picks the constraint contract:
+
+    - ``"edge"`` (default, fast): the direct edge is severed, but an
+      indirect path may still co-cluster the pair (documented loudly in
+      :func:`apply_constraints`).
+    - ``"closure"``: the pair is guaranteed separated — violated
+      components are re-split with :func:`constrained_components`
+      (greedy constrained Kruskal: the lowest-evidence edge on every
+      connecting path is cut, evidence = Levenshtein distance).
+      Must-link edges enter with the strongest evidence but a union
+      violating any cannot-link is skipped regardless (cannot wins).
 
     Over-cap blocks contribute sorted-neighborhood candidates (see
     :func:`candidate_pairs`); their edges are clustered with the global
@@ -267,12 +281,32 @@ def link_records(
         max_block=max_block,
         hot_block_window=hot_block_window,
     )
+    if cannot_link_mode not in ("edge", "closure"):
+        raise ValueError(
+            f"cannot_link_mode must be 'edge' or 'closure', "
+            f"got {cannot_link_mode!r}"
+        )
     edges = score_pairs(
         pairs,
         max_distance=max_distance,
         carry=[*block_cols, "from_hot_block"],
     )
-    if must_link is not None or cannot_link is not None:
+    if cannot_link is not None and cannot_link_mode == "closure":
+        base = edges.select(
+            "id1", "id2", F.col("distance").cast("double").alias("_evd")
+        )
+        if must_link is not None:
+            base = base.unionByName(
+                must_link.select(
+                    F.least("id1", "id2").alias("id1"),
+                    F.greatest("id1", "id2").alias("id2"),
+                    F.lit(-1.0).alias("_evd"),
+                )
+            )
+        comp = constrained_components(
+            base, cannot_link, evidence_col="_evd", ascending=True
+        )
+    elif must_link is not None or cannot_link is not None:
         constrained = apply_constraints(
             edges.select("id1", "id2"),
             must_link=must_link,
@@ -304,16 +338,17 @@ def link_records(
         comp.withColumnRenamed("file_id", "id"), "id", "left"
     ).select("id", F.col("component").alias("cluster_id"))
     w = Window.partitionBy(F.coalesce(F.col("cluster_id"), F.col("id")))
+    # keep = real cluster of >= 2 members; a closure-mode re-split can
+    # isolate a node (all its edges cut), which must read as a singleton
+    size = F.count("*").over(w)
+    keep = F.col("cluster_id").isNotNull() & (size >= 2)
     return out.select(
         "id",
-        "cluster_id",
-        F.when(F.col("cluster_id").isNotNull(), F.count("*").over(w)).alias(
-            "cluster_size"
+        F.when(keep, F.col("cluster_id")).alias("cluster_id"),
+        F.when(keep, size).alias("cluster_size"),
+        F.when(keep, F.col("id") == F.min("id").over(w)).alias(
+            "is_representative"
         ),
-        F.when(
-            F.col("cluster_id").isNotNull(),
-            F.col("id") == F.min("id").over(w),
-        ).alias("is_representative"),
     )
 
 
@@ -446,10 +481,12 @@ def apply_constraints(
 
     NOTE cannot-link is enforced on EDGES, not on the transitive
     closure: A~B and B~C still place A and C in one cluster even under
-    cannot(A, C) — closure-respecting cannot-link is NP-hard (correlation
-    clustering); the edge-level contract is the standard, predictable
-    compromise and is documented loudly here so callers audit residual
-    violations with :func:`cluster_edge_stats`-style tooling.
+    cannot(A, C) — OPTIMAL closure-respecting cannot-link is NP-hard
+    (correlation clustering); the edge-level contract is the fast,
+    predictable compromise. For a guaranteed-separation contract use
+    :func:`constrained_components` (greedy constrained Kruskal) or
+    ``link_records(cannot_link_mode="closure")``; audit residual
+    edge-mode violations with :func:`cluster_edge_stats`-style tooling.
     """
 
     def canon(df: DataFrame) -> DataFrame:
@@ -463,6 +500,151 @@ def apply_constraints(
         out = out.join(canon(cannot_link), ["id1", "id2"], "left_anti")
     if must_link is not None:
         out = out.unionByName(canon(must_link)).distinct()
+    return out
+
+
+def constrained_components(
+    edges: DataFrame,
+    cannot_link: DataFrame,
+    *,
+    evidence_col: str | None = None,
+    ascending: bool = True,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Connected components under CLOSURE-level cannot-link constraints:
+    a cannot-link pair is guaranteed to land in different output
+    clusters even when an INDIRECT path connects it (A–C–B), which is
+    what an MDM steward usually means — the edge-level contract of
+    :func:`apply_constraints` only severs the direct edge.
+
+    Optimal closure-respecting splitting is correlation clustering
+    (NP-hard); this uses the standard greedy surrogate (constrained
+    Kruskal, as in dedupe.io / constrained agglomerative clustering):
+    within each violated component, re-add edges strongest-evidence
+    first, skipping any union that would co-cluster a cannot-link pair
+    — equivalently, the lowest-evidence edge on every connecting path
+    is cut. ``evidence_col`` orders edges (``ascending=True`` means
+    smaller = stronger, e.g. a distance; use False for similarities);
+    ``None`` treats all edges equally and falls back to the
+    deterministic (id1, id2) order.
+
+    Scale shape: one unconstrained CC pass finds components; the
+    cannot-link table (steward-curated, small) joins against the
+    assignment to find VIOLATED components only — everything else keeps
+    its label untouched. Violated components' edges + constraints are
+    cogrouped per component and re-solved in one applyInPandas task
+    each; per-task memory is one component's edge set, bounded by the
+    caller's block cap exactly like :func:`partitioned_components`.
+    Labels are component-min ids, so re-split labels can't collide with
+    untouched ones (node sets are disjoint).
+
+    Conflict rule: cannot-link beats everything, including an explicit
+    must-link edge a caller may have injected upstream — a union that
+    would violate any constraint is skipped no matter its evidence.
+    """
+    import pandas as pd
+
+    ev = F.col(evidence_col) if evidence_col else F.lit(0)
+    e = edges.select(
+        F.least(id1, id2).alias("_e1"),
+        F.greatest(id1, id2).alias("_e2"),
+        (ev if ascending else -ev).cast("double").alias("_ev"),
+    ).filter(F.col("_e1") != F.col("_e2"))
+    cl = cannot_link.select(
+        F.least(id1, id2).alias("_c1"), F.greatest(id1, id2).alias("_c2")
+    ).distinct()
+
+    comp = connected_components(e, id1="_e1", id2="_e2").localCheckpoint(
+        eager=True
+    )
+    # violated components: both constraint endpoints share a label
+    lab1 = comp.withColumnRenamed("file_id", "_c1").withColumnRenamed(
+        "component", "_k1"
+    )
+    lab2 = comp.withColumnRenamed("file_id", "_c2").withColumnRenamed(
+        "component", "_k2"
+    )
+    viol = (
+        cl.join(lab1, "_c1")
+        .join(lab2, "_c2")
+        .filter(F.col("_k1") == F.col("_k2"))
+        .select(F.col("_k1").alias("_vc"), "_c1", "_c2")
+        .localCheckpoint(eager=True)
+    )
+    vcomps = viol.select("_vc").distinct()
+
+    clean = comp.join(
+        F.broadcast(vcomps.withColumnRenamed("_vc", "component")),
+        "component",
+        "left_anti",
+    ).select("file_id", "component")
+
+    # edges of violated components, labeled via one endpoint (edges never
+    # cross components by construction)
+    ve = (
+        e.join(
+            comp.withColumnRenamed("file_id", "_e1"), "_e1"
+        )
+        .join(
+            F.broadcast(vcomps.withColumnRenamed("_vc", "component")),
+            "component",
+            "left_semi",
+        )
+        .select("component", "_e1", "_e2", "_ev")
+    )
+    vc = viol.select(
+        F.col("_vc").alias("component"), "_c1", "_c2"
+    )
+
+    id_type = e.schema["_e1"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("file_id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+
+    def solve(key, epdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if epdf.empty:
+            return pd.DataFrame({"file_id": [], "component": []})
+        epdf = epdf.sort_values(["_ev", "_e1", "_e2"], kind="mergesort")
+        parent: dict = {}
+
+        # NON-mutating find: path compression here would write through a
+        # tentative union during the violation check, surviving the undo
+        # and silently merging a forbidden pair (caught by the planted
+        # flipped-evidence test). Components are block-cap-bounded, so
+        # the uncompressed walk is fine.
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        forbidden = list(zip(cpdf["_c1"], cpdf["_c2"]))
+        for a, b in zip(epdf["_e1"], epdf["_e2"]):
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            parent[max(ra, rb)] = min(ra, rb)
+            if any(find(x) == find(y) for x, y in forbidden):
+                del parent[max(ra, rb)]  # undo: violates a constraint
+        nodes = pd.unique(pd.concat([epdf["_e1"], epdf["_e2"]]))
+        roots = [find(x) for x in nodes]
+        mins = pd.Series(nodes).groupby(roots).transform("min")
+        return pd.DataFrame({"file_id": nodes, "component": mins})
+
+    resolved = (
+        ve.groupBy("component")
+        .cogroup(vc.groupBy("component"))
+        .applyInPandas(solve, schema=out_schema)
+    )
+    out = clean.unionByName(resolved)
+    # singleton survivors of a split keep component == self; callers
+    # treating component==file_id as singleton (link_records' null
+    # cluster convention) need size-1 groups dropped — leave that to the
+    # caller, matching connected_components' contract where every edge
+    # endpoint appears.
     return out
 
 

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cannot-link",
                    help="parquet of (id1,id2) curated-non-match overrides "
                         "(levenshtein comparator only)")
+    p.add_argument("--cannot-link-mode", default="edge",
+                   choices=("edge", "closure"),
+                   help="'edge' severs only the direct pair edge (fast); "
+                        "'closure' guarantees the pair lands in different "
+                        "clusters by re-splitting violated components "
+                        "(constrained Kruskal on edge evidence)")
     p.add_argument("--update", help="parquet path of a new batch to link "
                                     "against an existing run")
     p.add_argument("--warehouse", required=True)
@@ -142,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
             constraints["must_link"] = spark.read.parquet(args.must_link)
         if args.cannot_link:
             constraints["cannot_link"] = spark.read.parquet(args.cannot_link)
+            constraints["cannot_link_mode"] = args.cannot_link_mode
         assign = linkage.link_records(df, **kw, **constraints)
         entities = df
     elif args.comparator == "jaro_winkler":

@@ -196,3 +196,30 @@ def test_constraint_overrides_via_cli(entities_parquet, capsys, tmp_path, spark)
         main([entities_parquet, "--id-col", "rid", "--block-cols", "blk",
               "--compare-col", "name", "--comparator", "jaro_winkler",
               "--warehouse", wh, "--run-id", "c2", "--must-link", must])
+
+
+def test_closure_cannot_link_via_cli(entities_parquet, tmp_path, spark):
+    """--cannot-link-mode closure separates a pair connected only via an
+    indirect path (1–2 and 1–3 edges; cannot(2,3))."""
+    wh = str(tmp_path / "wh")
+    cannot = str(tmp_path / "cannot.parquet")
+    spark.createDataFrame([(2, 3)], "id1 int, id2 int").write.parquet(cannot)
+    # default edge mode: 2 and 3 stay co-clustered through 1
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "e1",
+        "--cannot-link", cannot, "--quiet",
+    ])
+    assert rc == 0
+    edge = {r["id"]: r["cluster_id"] for r in spark.read.parquet(
+        f"{wh}/e1/assignment").collect()}
+    assert edge[2] == edge[3] == 1
+    rc = main([
+        entities_parquet, "--id-col", "rid", "--block-cols", "blk",
+        "--compare-col", "name", "--warehouse", wh, "--run-id", "e2",
+        "--cannot-link", cannot, "--cannot-link-mode", "closure", "--quiet",
+    ])
+    assert rc == 0
+    clo = {r["id"]: r["cluster_id"] for r in spark.read.parquet(
+        f"{wh}/e2/assignment").collect()}
+    assert clo[1] == clo[2] == 1 and clo[3] is None

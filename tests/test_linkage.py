@@ -509,6 +509,135 @@ def test_link_records_with_constraints_cross_block_merge(spark):
     assert got[9]["cluster_id"] is None
 
 
+def test_constrained_components_blocks_indirect_path(spark):
+    """Closure-level cannot-link: A–C stay separated despite the A–B–C
+    path; the WEAKEST edge on the connecting path is the one cut."""
+    from dedupe_spark.operators.linkage import constrained_components
+
+    # chain 1–2 (strong, d=1), 2–3 (weak, d=2); cannot(1,3)
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0)], "id1 int, id2 int, d double"
+    )
+    cannot = spark.createDataFrame([(3, 1)], "id1 int, id2 int")  # reversed
+    got = {
+        r["file_id"]: r["component"]
+        for r in constrained_components(
+            edges, cannot, evidence_col="d", ascending=True
+        ).collect()
+    }
+    assert got[1] == got[2] == 1  # strong edge kept
+    assert got[3] == 3            # weak edge cut -> 3 isolated
+    # flip the evidence: now 2–3 is the strong edge, 1 gets isolated
+    edges2 = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0)], "id1 int, id2 int, d double"
+    )
+    got2 = {
+        r["file_id"]: r["component"]
+        for r in constrained_components(
+            edges2, cannot, evidence_col="d", ascending=True
+        ).collect()
+    }
+    assert got2[2] == got2[3] == 2 and got2[1] == 1
+
+
+def test_constrained_components_untouched_components_keep_labels(spark):
+    from dedupe_spark.operators.linkage import constrained_components
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (10, 11, 1.0), (11, 12, 1.0)],
+        "id1 int, id2 int, d double",
+    )
+    cannot = spark.createDataFrame([(1, 2)], "id1 int, id2 int")
+    got = {
+        r["file_id"]: r["component"]
+        for r in constrained_components(
+            edges, cannot, evidence_col="d"
+        ).collect()
+    }
+    # direct cannot-link edge: pair split, both isolated
+    assert got[1] == 1 and got[2] == 2
+    # unrelated component untouched (fast path, no re-solve)
+    assert got[10] == got[11] == got[12] == 10
+
+
+def test_link_records_closure_mode_separates_indirect_pair(spark):
+    """cannot_link_mode='closure' vs the default edge mode on the same
+    A–C–B chain: edge mode (documented) leaves the indirect pair
+    together; closure mode guarantees separation."""
+    rows = [
+        (1, "A", "jonathan smith"),
+        (2, "A", "jonathon smith"),   # lev 1 from #1, lev 2 from #3
+        (3, "A", "jonathon smyth"),   # lev 1 from #2, lev 2 from #1
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, name string")
+    cannot = spark.createDataFrame([(1, 3)], "id1 int, id2 int")
+    kw = dict(
+        id_col="rid", block_cols=["blk"], compare_col="name",
+        max_distance=2, cannot_link=cannot,
+    )
+    edge_mode = {r["id"]: r for r in link_records(df, **kw).collect()}
+    # edge mode: direct 1–3 edge severed, but 1–2–3 path reconnects
+    assert edge_mode[1]["cluster_id"] == edge_mode[3]["cluster_id"] == 1
+    closure = {
+        r["id"]: r
+        for r in link_records(
+            df, cannot_link_mode="closure", **kw
+        ).collect()
+    }
+    assert closure[1]["cluster_id"] != closure[3]["cluster_id"] or (
+        closure[1]["cluster_id"] is None and closure[3]["cluster_id"] is None
+    )
+    # lev(1,2)=1 beats lev(2,3)=1? both are distance 1 — but lev(1,3)=2
+    # is within threshold too, and is the weakest path edge; with all
+    # closure guarantees the constraint holds:
+    assert not (
+        closure[1]["cluster_id"] is not None
+        and closure[1]["cluster_id"] == closure[3]["cluster_id"]
+    )
+    # a node isolated by the re-split reads as a singleton (nulls)
+    for rid in (1, 2, 3):
+        r = closure[rid]
+        if r["cluster_id"] is None:
+            assert r["cluster_size"] is None
+            assert r["is_representative"] is None
+
+
+def test_link_records_closure_mode_must_link_and_cannot(spark):
+    rows = [
+        (1, "A", "jonathan smith"),
+        (2, "A", "jonathon smith"),
+        (6, "B", "jonathan smith"),
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, name string")
+    must = spark.createDataFrame([(1, 6)], "id1 int, id2 int")
+    cannot = spark.createDataFrame([(2, 6)], "id1 int, id2 int")
+    got = {
+        r["id"]: r
+        for r in link_records(
+            df, id_col="rid", block_cols=["blk"], compare_col="name",
+            max_distance=2, must_link=must, cannot_link=cannot,
+            cannot_link_mode="closure",
+        ).collect()
+    }
+    # must-link (strongest evidence) processed first: 1+6 merge; the
+    # 1–2 typo edge would put 2 and 6 together -> skipped (cannot wins)
+    assert got[1]["cluster_id"] == got[6]["cluster_id"] == 1
+    assert got[2]["cluster_id"] is None
+
+
+def test_link_records_rejects_bad_cannot_link_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "A", "x")], "rid int, blk string, name string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot_link_mode"):
+        link_records(
+            df, id_col="rid", block_cols=["blk"], compare_col="name",
+            cannot_link_mode="transitive",
+        )
+
+
 def test_assignment_churn_all_statuses(spark):
     from dedupe_spark.operators.linkage import assignment_churn
 
