@@ -420,6 +420,74 @@ def incremental_update(
     return counts
 
 
+def _stale_hot_buckets(cat: Catalog, tbl: str, max_bucket_size: int) -> int:
+    """Count over-cap buckets whose rows are unsalted (salt 0) — the
+    delta-growth staleness documented on ``lsh_bucket_delta``. One
+    column-pruned aggregation over the bucket table, no UDF."""
+    if not cat.exists(tbl):
+        return 0
+    return (
+        cat.read(tbl)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"), F.max("salt").alias("s"))
+        .filter((F.col("s") == 0) & (F.col("n") > max_bucket_size))
+        .count()
+    )
+
+
+def rebucket(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    *,
+    catalog: Catalog | None = None,
+) -> dict:
+    """Bucket-salt maintenance: rebuild ONLY the buckets stage from the
+    committed fingerprints + exact checkpoints and swap it in via
+    ``Catalog.replace`` — the compaction job ``lsh_bucket_delta``'s
+    documented staleness tradeoff defers to.
+
+    What it fixes, both delta-accumulation artifacts:
+
+    - buckets that became hot only through appended deltas keep salt 0
+      (a delta batch cannot see global bucket sizes); the rebuild runs
+      the full global census of ``lsh_buckets``, so every over-cap
+      bucket is salted again;
+    - dethroned representatives' bucket rows (kept by the incremental
+      path because removal would need a corpus-wide rewrite) are
+      dropped, since the rebuild derives reps from the CURRENT exact
+      table.
+
+    Nothing downstream is touched: committed edges/labels/assignment
+    remain valid (bucket layout only shapes FUTURE candidate
+    generation), so the job costs one fingerprints scan + the bucket
+    census shuffle — the cheapest maintenance window there is. Safe to
+    re-run (idempotent: same inputs → byte-identical buckets).
+
+    Returns a report with bucket-row and stale-hot-bucket counts before
+    and after, wired to the same census ``update_advice`` uses for its
+    staleness signal.
+    """
+    pipe = StagedPipeline(spark, cfg, catalog)
+    cat = pipe.catalog
+    for t in ("fingerprints", "exact", "buckets"):
+        if not cat.exists(pipe._tbl(t)):
+            raise ValueError(
+                f"rebucket requires a completed run; {t!r} checkpoint "
+                "missing — run StagedPipeline first"
+            )
+    tbl = pipe._tbl("buckets")
+    before_rows = cat.rows(tbl) or 0
+    before_stale = _stale_hot_buckets(cat, tbl, cfg.max_bucket_size)
+    after_rows = cat.replace(pipe._build_buckets(), tbl)
+    after_stale = _stale_hot_buckets(cat, tbl, cfg.max_bucket_size)
+    return {
+        "buckets_before": before_rows,
+        "buckets_after": after_rows,
+        "stale_hot_before": before_stale,
+        "stale_hot_after": after_stale,
+    }
+
+
 def update_advice(
     spark: SparkSession,
     cfg: PipelineConfig,
@@ -466,18 +534,13 @@ def update_advice(
     corpus_rows = cat.rows(pipe._tbl("fingerprints")) or 0
     batch_ratio = batch_rows / corpus_rows if corpus_rows else None
 
-    stale_hot = 0
-    if cat.exists(pipe._tbl("buckets")):
-        stale_hot = (
-            cat.read(pipe._tbl("buckets"))
-            .groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("n"), F.max("salt").alias("s"))
-            .filter((F.col("s") == 0) & (F.col("n") > cfg.max_bucket_size))
-            .count()
-        )
+    stale_hot = _stale_hot_buckets(
+        cat, pipe._tbl("buckets"), cfg.max_bucket_size
+    )
 
     reasons: list[str] = []
-    if batch_ratio is not None and batch_ratio > max_batch_ratio:
+    ratio_exceeded = batch_ratio is not None and batch_ratio > max_batch_ratio
+    if ratio_exceeded:
         reasons.append(
             f"batch is {batch_ratio:.0%} of the corpus — beyond the "
             f"{max_batch_ratio:.0%} band where incremental is measured to win"
@@ -485,14 +548,23 @@ def update_advice(
     if stale_hot > max_stale_hot_buckets:
         reasons.append(
             f"{stale_hot} unsalted over-cap buckets — rebucketing overdue "
-            "(delta-grown hot buckets keep salt 0 until a rebuild)"
+            "(delta-grown hot buckets keep salt 0; run the cheap "
+            "buckets-only rebuild: rebucket() / run_pipeline --rebucket)"
         )
+    # staleness alone warrants only the buckets-only maintenance job —
+    # a full rebuild is recommended solely for an out-of-band batch size
+    if ratio_exceeded:
+        recommendation = "rebuild"
+    elif reasons:
+        recommendation = "rebucket"
+    else:
+        recommendation = "incremental"
     return {
         "corpus_rows": corpus_rows,
         "batch_rows": batch_rows,
         "batch_ratio": batch_ratio,
         "stale_hot_buckets": stale_hot,
-        "recommendation": "rebuild" if reasons else "incremental",
+        "recommendation": recommendation,
         "reasons": reasons
         or [
             "batch within the measured incremental-win band; bucket salting fresh"

@@ -36,8 +36,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="PySpark record-linkage pipeline")
-    p.add_argument("--input", required=True, help="parquet path with files schema "
-                   "(repo, path, commit, lang, content)")
+    p.add_argument("--input", default=None, help="parquet path with files schema "
+                   "(repo, path, commit, lang, content); required except "
+                   "with --rebucket")
     p.add_argument("--documents", action="store_true",
                    help="input is a documents table (doc_id, text, lang, source); "
                         "map it onto the files schema")
@@ -74,6 +75,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "this batch (batch ratio + bucket-salt staleness, "
                         "thresholds from BENCH measurements) and exit without "
                         "modifying the warehouse")
+    p.add_argument("--rebucket", action="store_true",
+                   help="maintenance mode: rebuild ONLY the buckets stage "
+                        "from committed fingerprints (fresh global hot-bucket "
+                        "census restores salting lost to delta growth; "
+                        "dethroned-rep rows dropped), swap via Catalog."
+                        "replace, print a before/after report, and exit — "
+                        "no --input needed, nothing downstream touched")
     p.add_argument("--until", default="assignment",
                    choices=["fingerprints", "exact", "buckets", "edges",
                             "labels", "assignment"],
@@ -135,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"dedupe_spark[{args.run_id}]", master=args.master)
     if args.quiet:
         spark.sparkContext.setLogLevel("ERROR")
+
+    if args.rebucket:
+        from dedupe_spark.plans.incremental import rebucket
+
+        report = rebucket(spark, cfg)
+        print(json.dumps({"run_id": args.run_id, "rebucket": report}))
+        return 0
+    if not args.input:
+        raise SystemExit("--input is required (except with --rebucket)")
 
     from dedupe_spark.sources.io import read_documents_as_files, read_files
 

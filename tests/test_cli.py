@@ -204,6 +204,27 @@ def test_update_mode_appends_batch(docs_parquet, capsys, tmp_path, spark):
     assert rep["stages_ran"]["fingerprints_appended"] > 0
 
 
+def test_rebucket_cli_mode(docs_parquet, capsys, tmp_path, spark):
+    """--rebucket rebuilds only the buckets stage from a committed run,
+    prints a before/after report, and needs no --input."""
+    wh = str(tmp_path / "wh")
+    main([
+        "--input", docs_parquet, "--documents", "--warehouse", wh,
+        "--run-id", "rb1", "--quiet",
+    ])
+    capsys.readouterr()
+    rc = main([
+        "--warehouse", wh, "--run-id", "rb1", "--rebucket", "--quiet",
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)["rebucket"]
+    assert rep["buckets_after"] > 0
+    assert rep["stale_hot_after"] == 0
+    # --input is required for every non-rebucket mode
+    with pytest.raises(SystemExit, match="--input"):
+        main(["--warehouse", wh, "--run-id", "rb1", "--quiet"])
+
+
 def test_flat_output_suffixes_colliding_basenames(capsys, tmp_path, spark):
     """--flat-output e2e: survivors land in ONE flat table and planted
     basename collisions carry _k-suffixed out_names (reference

@@ -78,6 +78,60 @@ def test_incremental_requires_existing_run(spark, corpus, tmp_path):
         incremental_update(spark, files_dataframe(spark, corpus), cfg)
 
 
+def test_rebucket_restores_salting_and_drops_stale_rows(
+    spark, corpus, tmp_path
+):
+    """Planted stale-salt scenario: an over-cap salt-0 bucket (the
+    lsh_bucket_delta staleness artifact) plus leftover dethroned-rep
+    rows. --rebucket's library core must (a) re-salt from a fresh global
+    census, (b) drop rows not derivable from the committed
+    fingerprints/exact stages, (c) leave every downstream table
+    untouched, (d) be idempotent."""
+    from dedupe_spark.plans.incremental import rebucket, update_advice
+
+    cfg = PipelineConfig(run_id="rb", warehouse=str(tmp_path / "wh"))
+    pipe = StagedPipeline(spark, cfg)
+    pipe.run(files_dataframe(spark, corpus))
+    cat = pipe.catalog
+    assign_before = _clusters(pipe.result())
+
+    planted = spark.createDataFrame(
+        [
+            (99, 123456789, 0, f"stale{i}", i * 17)
+            for i in range(cfg.max_bucket_size + 1)
+        ],
+        "band_id int, band_hash long, salt long, file_id string, simhash long",
+    )
+    cat.append(planted, "rb/buckets")
+    adv = update_advice(spark, cfg, batch_rows=1, max_stale_hot_buckets=0)
+    assert adv["recommendation"] == "rebucket"
+
+    rep = rebucket(spark, cfg)
+    assert rep["stale_hot_before"] >= 1
+    assert rep["stale_hot_after"] == 0
+    buckets = cat.read("rb/buckets")
+    # planted band gone: only fingerprint-derived band ids remain
+    assert buckets.filter("band_id = 99").count() == 0
+    # byte-equivalent to a fresh buckets build from the committed stages
+    fresh = pipe._build_buckets()
+    assert buckets.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(buckets).count() == 0
+    # downstream untouched
+    assert _clusters(pipe.result()) == assign_before
+    # idempotent
+    rep2 = rebucket(spark, cfg)
+    assert rep2["buckets_after"] == rep["buckets_after"]
+    assert rep2["stale_hot_before"] == 0
+
+
+def test_rebucket_requires_completed_run(spark, tmp_path):
+    from dedupe_spark.plans.incremental import rebucket
+
+    cfg = PipelineConfig(run_id="norun", warehouse=str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="fingerprints"):
+        rebucket(spark, cfg)
+
+
 def test_update_advice_thresholds(spark, split_runs):
     """The planner recommends incremental inside the measured win band and
     rebuild beyond it or when there's no run to extend."""
@@ -107,7 +161,8 @@ def test_update_advice_thresholds(spark, split_runs):
 def test_update_advice_counts_stale_hot_buckets(spark, split_runs):
     """A bucket that exceeds max_bucket_size with salt 0 (the
     lsh_bucket_delta staleness case) must be counted and, past the cap,
-    flip the recommendation to rebuild."""
+    flip the recommendation to the buckets-only rebucket job (a full
+    rebuild stays reserved for out-of-band batch sizes)."""
     from dedupe_spark.plans.incremental import update_advice
 
     pipe, _batch, _counts, _half2 = split_runs
@@ -126,7 +181,7 @@ def test_update_advice_counts_stale_hot_buckets(spark, split_runs):
         strict = update_advice(
             spark, cfg, batch_rows=1, max_stale_hot_buckets=0
         )
-        assert strict["recommendation"] == "rebuild"
+        assert strict["recommendation"] == "rebucket"
         assert any("rebucketing" in r for r in strict["reasons"])
     finally:
         # remove the planted rows so later tests in this module see the
