@@ -72,33 +72,119 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-python decoder for uncompressed BMP (24-bit BGR or 8-bit) —
+    a REAL image codec with zero dependencies, vendored so the
+    ``real_decode`` plumbing has a non-fake integration path in
+    codec-less environments (public format: the Windows BITMAPFILEHEADER
+    / BITMAPINFOHEADER layout).
+
+    Returns the grayscale pixel grid as ``uint8 (h, w)``. 24-bit rows
+    are BGR with 4-byte row padding; luma uses the ITU-R 601 integer
+    weights (299R + 587G + 114B) // 1000 (PIL's convert("L") formula).
+    8-bit images are treated as direct intensity (the common grayscale
+    palette) — palette indirection is out of scope for the hook.
+    Negative height means top-down row order per the spec.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (8, 24):
+        raise ValueError(
+            f"only uncompressed 8/24-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    top_down, h = h < 0, abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("decoded image has zero pixels")
+    row_size = ((bpp * w + 31) // 32) * 4
+    if len(payload) < off + row_size * h:
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=off
+    ).reshape(h, row_size)
+    if bpp == 24:
+        bgr = data[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
+        gray = (
+            (299 * bgr[..., 2] + 587 * bgr[..., 1] + 114 * bgr[..., 0])
+            // 1000
+        ).astype(np.uint8)
+    else:
+        gray = data[:, :w].copy()
+    return gray if top_down else gray[::-1]
+
+
+def encode_bmp(gray: "np.ndarray") -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (bottom-up, R=G=B=value) —
+    the deterministic test-fixture counterpart of :func:`decode_bmp`;
+    round-trips exactly through it."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    if arr.ndim != 2 or arr.size == 0:
+        raise ValueError("encode_bmp expects a non-empty (h, w) array")
+    h, w = arr.shape
+    row_size = ((24 * w + 31) // 32) * 4
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    # bottom-up: last array row first; BGR triplets all equal to gray
+    flipped = arr[::-1]
+    for c in range(3):
+        body[:, c : w * 3 : 3] = flipped
+    off = 14 + 40
+    size = off + row_size * h
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (row_size * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + body.tobytes()
+
+
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Real codec hook — PIL-backed image decode wherever Pillow exists.
+    """Real codec hook: vendored pure-python BMP decode for ``BM``
+    payloads (runs everywhere, incl. this sandbox — integration-tested
+    through the full mapInPandas path), PIL for every other image format
+    wherever Pillow exists.
 
     Feature = 16-bin intensity histogram over the decoded grayscale
     pixels, L1-normalized — the same (16,) float32 shape contract as
     ``fake_decode``, so the Spark-side plumbing (schema, mapInPandas
     batches, error channel) is byte-for-byte identical whichever decoder
     runs. Audio/video kinds would need librosa/av wrappers. In codec-less
-    environments (this sandbox has no Pillow) the ImportError surfaces as
-    NotImplementedError; the skipif-gated test
-    ``tests/test_multimodal.py::test_real_decode_with_pillow`` exercises
-    the real path wherever Pillow is installed, so the hook cannot rot
+    environments (no Pillow) non-BMP images surface NotImplementedError;
+    the skipif-gated test
+    ``tests/test_multimodal.py::test_real_decode_with_pillow`` arms the
+    PIL path wherever Pillow is installed, so the hook cannot rot
     silently.
     """
     if kind == "image":
-        try:
-            from PIL import Image  # noqa: PLC0415 — optional codec import
-        except ImportError as e:
-            raise NotImplementedError(
-                "Pillow is not installed in this environment; pass "
-                "decode_fn=fake_decode or install Pillow for real image "
-                "decode"
-            ) from e
-        import io
+        if payload[:2] == b"BM":
+            arr = decode_bmp(payload)
+        else:
+            try:
+                from PIL import Image  # noqa: PLC0415 — optional codec
+            except ImportError as e:
+                raise NotImplementedError(
+                    "Pillow is not installed in this environment; use an "
+                    "uncompressed BMP payload (vendored decoder), pass "
+                    "decode_fn=fake_decode, or install Pillow"
+                ) from e
+            import io
 
-        img = Image.open(io.BytesIO(payload)).convert("L")
-        arr = np.asarray(img, dtype=np.uint8)
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            arr = np.asarray(img, dtype=np.uint8)
         if arr.size == 0:
             raise ValueError("decoded image has zero pixels")
         hist = np.bincount(arr.ravel() >> 4, minlength=16).astype(np.float64)

@@ -140,6 +140,70 @@ def _has_pillow() -> bool:
         return False
 
 
+def _gradient(h=48, w=64) -> np.ndarray:
+    return (np.arange(h * w, dtype=np.uint32) % 256).astype(np.uint8).reshape(h, w)
+
+
+def test_bmp_codec_roundtrip_and_errors():
+    """The vendored pure-python BMP codec: exact gray roundtrip (R=G=B
+    payload makes the 601 luma the identity), top-down flag honored,
+    truncation and non-BMP rejected."""
+    from dedupe_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    grid = _gradient()
+    bmp = encode_bmp(grid)
+    assert np.array_equal(decode_bmp(bmp), grid)
+    # negative height = top-down: flip the stored height sign and the
+    # decoder must NOT flip the rows (stored order becomes logical order)
+    neg = bytearray(bmp)
+    neg[22:26] = (-grid.shape[0]).to_bytes(4, "little", signed=True)
+    assert np.array_equal(decode_bmp(bytes(neg)), grid[::-1])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp[:-10])
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG nope" + bytes(64))
+    with pytest.raises(ValueError, match="uncompressed"):
+        bad = bytearray(bmp)
+        bad[30:34] = (1).to_bytes(4, "little")  # RLE8 compression flag
+        decode_bmp(bytes(bad))
+
+
+def test_real_decode_bmp_through_spark(spark):
+    """The REAL codec path runs in-sandbox (no Pillow needed): a BMP
+    payload decodes through extract_features(decode_fn=real_decode) over
+    mapInPandas into the exact 16-bin L1-normalized histogram of its
+    true pixels; corrupt payloads take the in-band error channel."""
+    from dedupe_spark.operators.multimodal import (
+        encode_bmp,
+        extract_features,
+        real_decode,
+    )
+
+    grid = _gradient()
+    bmp = encode_bmp(grid)
+    media = spark.createDataFrame(
+        [
+            ("bmp0", "image", bytearray(bmp), 64, 48, None),
+            ("trunc", "image", bytearray(bmp[:-10]), 64, 48, None),
+            ("junk", "image", bytearray(b"not an image"), None, None, None),
+        ],
+        "media_id string, kind string, payload binary, "
+        "width int, height int, sample_rate int",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(media, decode_fn=real_decode).collect()
+    }
+    ok = rows["bmp0"]
+    assert ok["error"] is None
+    hist = np.bincount(grid.ravel() >> 4, minlength=16).astype(np.float64)
+    expected = (hist / hist.sum()).astype(np.float32)
+    assert np.allclose(ok["feature"], expected, atol=1e-7)
+    assert rows["trunc"]["error"] is not None
+    assert "truncated" in rows["trunc"]["error"]
+    assert rows["junk"]["error"] is not None  # NotImplemented or PIL error
+
+
 @pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed in this sandbox")
 def test_real_decode_with_pillow(spark):
     """Exercises the REAL codec hook wherever Pillow exists: a generated
