@@ -59,6 +59,10 @@ def main() -> None:
     p.add_argument("--members", type=int, default=3)
     p.add_argument("--fams-per-block", type=int, default=10)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--snm-window", type=int, default=0,
+                   help="if > 0, add a sorted-neighborhood leg with this "
+                        "window over the name sort (wide windows probe the "
+                        "O(n*w) pair path: w=100+ per VERDICT r4 #8)")
     args = p.parse_args()
 
     from dedupe_spark.session import get_spark
@@ -105,6 +109,29 @@ def main() -> None:
     dt = time.perf_counter() - t0
     out["fs_link_s"] = round(dt, 1)
     out["fs_link_rps"] = round(n / dt, 1)
+
+    if args.snm_window > 0:
+        from pyspark.sql import functions as F
+
+        from dedupe_spark.operators.linkage import sorted_neighborhood_pairs
+
+        t0 = time.perf_counter()
+        snm = sorted_neighborhood_pairs(
+            ents,
+            id_col="rid",
+            sort_cols=["name"],
+            window=args.snm_window,
+            carry_sort_cols=True,
+        ).select(
+            "id1",
+            "id2",
+            F.levenshtein("l_name", "r_name", 2).alias("d"),
+        ).filter(F.col("d").between(0, 2))
+        snm.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        out["snm_window"] = args.snm_window
+        out["snm_s"] = round(dt, 1)
+        out["snm_rps"] = round(n / dt, 1)
 
     # +10% batch: ids above n with names colliding into existing blocks
     batch = build_entities(
