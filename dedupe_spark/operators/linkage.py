@@ -684,6 +684,15 @@ def link_incremental(
     a block that crosses the cap only via the batch suppresses NEW
     pairing there, while clusters already formed stand — linkage is
     monotone (clusters never unmerge), the production-ER convention.
+
+    NOTE the incremental path does NOT apply the one-shot's hot-block
+    SNM fallback (``candidate_pairs(hot_block_window=)``): within an
+    over-cap block it generates no new pairs at all. Consequence: the
+    two-batch == one-shot equivalence holds exactly only while every
+    touched block stays under the cap — past it, the one-shot run finds
+    the fallback's extra O(n·w) matches and the incremental run defers
+    them to the next rebuild (the same compaction that fixes bucket-salt
+    staleness; ``update_advice`` surfaces both signals).
     """
     from dedupe_spark.operators.cc import connected_components
 
