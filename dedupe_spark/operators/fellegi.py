@@ -49,7 +49,10 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from dedupe_spark.operators.linkage import DEFAULT_MAX_BLOCK
+from dedupe_spark.operators.linkage import (
+    DEFAULT_HOT_BLOCK_WINDOW,
+    DEFAULT_MAX_BLOCK,
+)
 
 MAX_EM_FIELDS = 16  # 2^16 pattern rows — the EM collect stays bounded
 
@@ -152,13 +155,22 @@ def field_pairs(
     fields: list[str],
     max_block: int | None = DEFAULT_MAX_BLOCK,
     tf_fields: list[str] | None = None,
+    hot_block_window: int | None = DEFAULT_HOT_BLOCK_WINDOW,
 ) -> DataFrame:
     """Within-block candidate pairs carrying every comparison field on
-    both sides: (id1, id2, l_<f>, r_<f>..., *block_cols), id1 < id2.
+    both sides: (id1, id2, l_<f>, r_<f>..., *block_cols,
+    from_hot_block), id1 < id2.
 
     The multi-field sibling of ``linkage.candidate_pairs`` with the same
-    skew guard: block sizes from a partial aggregation, over-cap blocks
-    dropped via a broadcast anti-join before any pairing happens.
+    skew guard AND the same hot-block degradation: block sizes from a
+    partial aggregation; blocks over the cap route through sorted-
+    neighborhood pairing ordered by (block, first comparison field) —
+    O(n·w) candidates instead of the r4 recall cliff (zero pairs) —
+    with every field value carried on both sides, so FS scoring runs
+    unchanged. ``hot_block_window=None`` restores the hard drop. As in
+    ``candidate_pairs``, ``from_hot_block`` is a branch literal (filters
+    on it constant-fold through the union) and the hot census is
+    materialized once — empty census skips the whole fallback subtree.
     Unlike the single-field variant, null comparison values do NOT drop
     the row — Fellegi–Sunter treats missing fields as zero-evidence, so
     a record with one null attribute must still pair on the others.
@@ -187,14 +199,51 @@ def field_pairs(
         )
         keyed = keyed.join(vf, f"_v_{f}", "left")
 
+    val_cols = [f"_v_{f}" for f in fields] + [f"_tf_{f}" for f in tf_fields]
+    hot_pairs = None
     if max_block is not None:
         hot = (
             keyed.groupBy(*block_cols)
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > max_block)
             .select(*block_cols)
-        )
-        keyed = keyed.join(F.broadcast(hot), block_cols, "left_anti")
+        ).localCheckpoint(eager=True)
+        cold = keyed.join(F.broadcast(hot), block_cols, "left_anti")
+        if hot_block_window is not None and not hot.isEmpty():
+            from dedupe_spark.operators.linkage import (
+                sorted_neighborhood_pairs,
+            )
+
+            hot_rows = keyed.join(F.broadcast(hot), block_cols, "left_semi")
+            snm = sorted_neighborhood_pairs(
+                hot_rows,
+                id_col="_rid",
+                sort_cols=[*block_cols, f"_v_{fields[0]}"],
+                window=hot_block_window,
+                carry_sort_cols=True,
+                carry_cols=val_cols,
+            )
+            same_block = F.lit(True)
+            for c in block_cols:
+                same_block = same_block & (F.col(f"l_{c}") == F.col(f"r_{c}"))
+            swap = F.col("id1") > F.col("id2")
+
+            def pick(side_l: str, side_r: str, col: str, alias: str):
+                return F.when(
+                    swap, F.col(f"{side_r}_{col}")
+                ).otherwise(F.col(f"{side_l}_{col}")).alias(alias)
+
+            hot_pairs = snm.filter(same_block).select(
+                F.least("id1", "id2").alias("id1"),
+                F.greatest("id1", "id2").alias("id2"),
+                *[pick("l", "r", f"_v_{f}", f"l_{f}") for f in fields],
+                *[pick("r", "l", f"_v_{f}", f"r_{f}") for f in fields],
+                *[pick("l", "r", f"_tf_{f}", f"l_tf_{f}") for f in tf_fields],
+                *[pick("r", "l", f"_tf_{f}", f"r_tf_{f}") for f in tf_fields],
+                *[F.col(f"l_{c}").alias(c) for c in block_cols],
+                F.lit(True).alias("from_hot_block"),
+            )
+        keyed = cold
 
     a = keyed.select(
         *[F.col(c) for c in block_cols],
@@ -208,7 +257,7 @@ def field_pairs(
         *[F.col(f"_v_{f}").alias(f"r_{f}") for f in fields],
         *[F.col(f"_tf_{f}").alias(f"r_tf_{f}") for f in tf_fields],
     )
-    return a.join(b, block_cols).filter(F.col("id1") < F.col("id2")).select(
+    out = a.join(b, block_cols).filter(F.col("id1") < F.col("id2")).select(
         "id1",
         "id2",
         *[F.col(f"l_{f}") for f in fields],
@@ -216,7 +265,11 @@ def field_pairs(
         *[F.col(f"l_tf_{f}") for f in tf_fields],
         *[F.col(f"r_tf_{f}") for f in tf_fields],
         *block_cols,
+        F.lit(False).alias("from_hot_block"),
     )
+    if hot_pairs is not None:
+        out = out.unionByName(hot_pairs)
+    return out
 
 
 def _check_mu(fields: list[str], m: dict[str, float], u: dict[str, float]):
@@ -394,17 +447,25 @@ def fs_link(
     u: dict[str, float] | None = None,
     threshold_weight: float,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    hot_block_window: int | None = DEFAULT_HOT_BLOCK_WINDOW,
 ) -> DataFrame:
     """Full probabilistic linkage arc: block → FS-score → threshold →
     transitive clustering. Returns the ``link_records`` assignment shape
     (id, cluster_id, cluster_size, is_representative).
 
     ``u=None`` estimates u from the value histograms of ``df`` itself
-    (one extra scan + a ≤|fields|-row driver collect).
+    (one extra scan + a ≤|fields|-row driver collect). Over-cap blocks
+    contribute sorted-neighborhood candidates (``field_pairs``); their
+    edges cluster via the global iterative CC, never the per-block
+    solver (a hot block's edge set must not land in one task) — same
+    split as ``link_records``.
     """
     from pyspark.sql import Window
 
-    from dedupe_spark.operators.cc import partitioned_components
+    from dedupe_spark.operators.cc import (
+        connected_components,
+        partitioned_components,
+    )
 
     if u is None:
         u = estimate_u(df, fields=fields)
@@ -414,15 +475,23 @@ def fs_link(
         block_cols=block_cols,
         fields=fields,
         max_block=max_block,
+        hot_block_window=hot_block_window,
     )
     edges = (
         fs_score(pairs, fields=fields, m=m, u=u)
         .filter(F.col("match_weight") >= threshold_weight)
-        .select("id1", "id2", *block_cols)
+        .select("id1", "id2", *block_cols, "from_hot_block")
     )
     # single-pass blocking ⇒ components never cross a block (same
     # argument as link_records): solve each block exactly in one shuffle
-    comp = partitioned_components(edges, key_cols=block_cols)
+    comp = partitioned_components(
+        edges.filter(~F.col("from_hot_block")), key_cols=block_cols
+    )
+    if max_block is not None and hot_block_window is not None:
+        hot_comp = connected_components(
+            edges.filter(F.col("from_hot_block")).select("id1", "id2")
+        )
+        comp = comp.unionByName(hot_comp)
     ids = df.select(F.col(id_col).alias("id")).filter(F.col("id").isNotNull())
     out = ids.join(
         comp.withColumnRenamed("file_id", "id"), "id", "left"

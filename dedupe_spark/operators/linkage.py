@@ -411,6 +411,7 @@ def sorted_neighborhood_pairs(
     sort_cols: list[str],
     window: int,
     carry_sort_cols: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95):
     candidate pairs are records within ``window`` positions of each other
@@ -428,16 +429,23 @@ def sorted_neighborhood_pairs(
     The sort order is made total by appending ``id_col`` to
     ``sort_cols``, so results are deterministic under ties.
     ``carry_sort_cols=True`` adds ``l_<c>`` / ``r_<c>`` value columns so
-    a comparison step can score pairs without joining the source back.
+    a comparison step can score pairs without joining the source back;
+    ``carry_cols`` names ADDITIONAL non-sort columns to carry the same
+    way (multi-field comparison without a source join-back).
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
+    extra = [c for c in (carry_cols or []) if c not in sort_cols]
     ranked = global_rank(
-        df.select(F.col(id_col).alias("_sid"), *[F.col(c) for c in sort_cols]),
+        df.select(
+            F.col(id_col).alias("_sid"),
+            *[F.col(c) for c in sort_cols],
+            *[F.col(c) for c in extra],
+        ),
         order_cols=[*sort_cols, "_sid"],
     )
     bucket = F.floor((F.col("rank") - 1) / window)
-    carry = sort_cols if carry_sort_cols else []
+    carry = (sort_cols if carry_sort_cols else []) + extra
     left = ranked.select(
         bucket.alias("_bk"),
         F.col("_sid").alias("id1"),

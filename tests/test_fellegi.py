@@ -179,16 +179,62 @@ def test_em_rejects_too_many_fields(spark):
 
 
 def test_field_pairs_skew_guard(spark):
-    # block H has 50 rows (over cap), block S has 3 → only S pairs survive
+    # block H has 50 rows (over cap), block S has 3 → only S pairs
+    # survive under the hard-drop (window=None) mode
     rows = [(i, "H", "v") for i in range(50)] + [
         (100, "S", "v"), (101, "S", "v"), (102, "S", "w")
     ]
     df = spark.createDataFrame(rows, "rid int, blk string, f string")
     pairs = field_pairs(
-        df, id_col="rid", block_cols=["blk"], fields=["f"], max_block=10
+        df, id_col="rid", block_cols=["blk"], fields=["f"], max_block=10,
+        hot_block_window=None,
     ).collect()
     assert len(pairs) == 3
     assert all(r["blk"] == "S" for r in pairs)
+
+
+def test_field_pairs_hot_block_snm_fallback_multi_field(spark):
+    """Over-cap blocks degrade to O(n·w) SNM candidates with EVERY
+    comparison field carried on both sides, and fs_link finds matches
+    inside the hot block via the global-CC routing."""
+    # 60-row hot block: distinct first-field values except one planted
+    # twin pair; second field rotates so multi-field carry is exercised
+    hot = [
+        (i, "H", f"{i:04d}name", f"s{i % 3}") for i in range(60)
+    ] + [(200, "H", "0007name", "s1")]  # exact f-match with rid 7
+    cold = [(100, "S", "abc", "s0"), (101, "S", "abc", "s1")]
+    df = spark.createDataFrame(
+        hot + cold, "rid int, blk string, f string, g string"
+    )
+    pairs = field_pairs(
+        df, id_col="rid", block_cols=["blk"], fields=["f", "g"],
+        max_block=10, hot_block_window=3,
+    )
+    got = pairs.collect()
+    by_pair = {(r["id1"], r["id2"]): r for r in got}
+    # planted twins sort adjacently -> candidate exists with both fields
+    assert (7, 200) in by_pair
+    r = by_pair[(7, 200)]
+    assert r["from_hot_block"] is True
+    assert r["l_f"] == r["r_f"] == "0007name"
+    assert {r["l_g"], r["r_g"]} == {"s1"}  # rid 7 has g = s1 (7 % 3)
+    assert all(p["id1"] < p["id2"] for p in got)
+    # cold path untouched
+    assert (100, 101) in by_pair
+    assert by_pair[(100, 101)]["from_hot_block"] is False
+    # O(n·w) bound
+    n_hot = sum(1 for p in got if p["from_hot_block"])
+    assert 0 < n_hot < 61 * 2
+
+    # end-to-end: fs_link clusters the planted twins (agree on f AND g
+    # -> weight far above threshold; everything else disagrees on f)
+    out = fs_link(
+        df, id_col="rid", block_cols=["blk"], fields=["f", "g"],
+        m={"f": 0.95, "g": 0.9}, threshold_weight=4.0,
+        max_block=10, hot_block_window=3,
+    )
+    assign = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert assign[7] == assign[200] == 7
 
 
 def test_fs_plan_is_jvm_only(spark):
