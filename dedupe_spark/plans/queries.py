@@ -4612,6 +4612,95 @@ ORDER BY r.id
 """
 
 
+def q_constrained_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure-level cannot-link clustering, value-oracled via a
+    closed-form scenario: per (nation, segment) block, customers form a
+    CHAIN (adjacent by custkey rank) with a deterministic unique-ish
+    evidence value per edge, and the block's (min, max) custkey pair is
+    cannot-linked. On a chain whose endpoints are constrained, greedy
+    constrained Kruskal (operators/linkage.py:constrained_components)
+    provably skips exactly ONE edge — the last in (evidence, id1, id2)
+    processing order, since the endpoints only connect when the final
+    remaining gap closes — so the DuckDB twin can compute the cut edge
+    in closed form (argmax per block) and recompute the closure over
+    the remaining edges with the standard recursive CTE. A value-level
+    oracle over the constrained-clustering machinery itself: tentative-
+    union bookkeeping, undo, per-component re-solve, label min-ids."""
+    from dedupe_spark.operators.linkage import constrained_components
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_custkey"
+    )
+    ranked = cust.select(
+        F.col("c_custkey").alias("id1"),
+        F.lead("c_custkey").over(w).alias("id2"),
+        "c_nationkey",
+        "c_mktsegment",
+    ).filter(F.col("id2").isNotNull())
+    edges = ranked.select(
+        "id1",
+        "id2",
+        ((F.col("id1") * 7919) % 97).cast("double").alias("ev"),
+    )
+    cannot = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.min("c_custkey").alias("id1"),
+            F.max("c_custkey").alias("id2"),
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    comp = constrained_components(
+        edges, cannot, evidence_col="ev", ascending=True
+    )
+    return comp.select(
+        F.col("file_id").alias("id"), F.col("component").alias("cluster_id")
+    ).orderBy("id")
+
+
+SQL_CONSTRAINED_LINKAGE = """
+WITH RECURSIVE ranked AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY c_custkey) AS rk,
+         c_nationkey AS nat, c_mktsegment AS seg
+  FROM customer
+), edges AS (
+  SELECT a.id AS id1, b.id AS id2, a.nat, a.seg,
+         cast((a.id * 7919) % 97 AS DOUBLE) AS ev
+  FROM ranked a JOIN ranked b
+    ON a.nat = b.nat AND a.seg = b.seg AND b.rk = a.rk + 1
+), cut AS (
+  -- the one edge constrained Kruskal skips per chain: last in
+  -- (ev, id1, id2) processing order = the final gap between the
+  -- cannot-linked chain endpoints
+  SELECT id1, id2 FROM (
+    SELECT id1, id2,
+           row_number() OVER (PARTITION BY nat, seg
+                              ORDER BY ev DESC, id1 DESC, id2 DESC) AS rn
+    FROM edges)
+  WHERE rn = 1
+), kept AS (
+  SELECT e.id1, e.id2 FROM edges e
+  LEFT JOIN cut c ON c.id1 = e.id1 AND c.id2 = e.id2
+  WHERE c.id1 IS NULL
+), nodes AS (
+  SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges
+), sym AS (
+  SELECT id1 AS src, id2 AS dst FROM kept
+  UNION ALL SELECT id2, id1 FROM kept
+), reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, min(label) AS cluster_id
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental linkage equivalence, value-oracled: link 90% of the
     customers, then extend with the remaining 10% via
@@ -5290,6 +5379,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # EM-trained FS (new r5): oracle recomputes the EM fixed point in
         # a recursive CTE — the last unveiled ER path gets a value oracle
         "fs_em_link": (q_fs_em_link, SQL_FS_EM_LINK),
+        # closure-level cannot-link (new r5): chain scenario whose cut
+        # edge is closed-form, so the constrained-Kruskal machinery gets
+        # a value oracle, not just units
+        "constrained_linkage": (q_constrained_linkage, SQL_CONSTRAINED_LINKAGE),
         # --- (c) flagship re-confirmations ---
         "pipeline_f1": (q_pipeline_f1, SQL_PIPELINE_F1),
         "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
