@@ -124,6 +124,31 @@ def test_rebucket_restores_salting_and_drops_stale_rows(
     assert rep2["stale_hot_before"] == 0
 
 
+def test_rebucket_then_incremental_matches_oneshot(
+    spark, corpus, tmp_path
+):
+    """Maintenance composes with ingestion: staged half → rebucket →
+    incremental second half must equal the one-shot clustering of the
+    union (the delta path keys its salting off the rebuilt table)."""
+    from dedupe_spark.plans.incremental import rebucket
+
+    wh = str(tmp_path / "wh")
+    all_files = files_dataframe(spark, corpus).cache()
+    half1 = all_files.filter(F.crc32(F.col("path")) % 2 == 0)
+    half2 = all_files.filter(F.crc32(F.col("path")) % 2 == 1)
+
+    cfg = PipelineConfig(run_id="rbi", warehouse=wh)
+    pipe = StagedPipeline(spark, cfg)
+    pipe.run(half1)
+    rebucket(spark, cfg)
+    incremental_update(spark, half2, cfg)
+
+    one_cfg = PipelineConfig(run_id="oneshot2", warehouse=wh)
+    one = StagedPipeline(spark, one_cfg)
+    one.run(all_files)
+    assert _clusters(pipe.result()) == _clusters(one.result())
+
+
 def test_rebucket_requires_completed_run(spark, tmp_path):
     from dedupe_spark.plans.incremental import rebucket
 
